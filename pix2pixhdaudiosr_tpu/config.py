@@ -1,0 +1,272 @@
+"""Configuration system.
+
+Mirrors the reference three-tier argparse registry
+(reference options/base_options.py:11-72, options/train_options.py:5-55,
+options/test_options.py:4-17) and the compile-time audio constants
+(reference options/audio_config.py:1-12) as one frozen dataclass with a CLI
+override layer and `opt.txt` provenance dump
+(reference options/base_options.py:98-107).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Audio constants (reference options/audio_config.py:1-12)
+# ---------------------------------------------------------------------------
+N_FFT = 512
+HOP_LENGTH = 256
+WIN_LENGTH = 512
+LR_SAMPLE_RATE = 8000
+HR_SAMPLE_RATE = 48000
+BINS = 128
+assert BINS % 16 == 0  # must be divisible by 16 so conv down/upsampling round-trips
+CENTER = True
+if CENTER:
+    FRAME_LENGTH = (BINS - 1) * HOP_LENGTH  # 32512
+else:
+    FRAME_LENGTH = (BINS - 1) * HOP_LENGTH + WIN_LENGTH
+
+
+@dataclass(frozen=True)
+class Config:
+    """All experiment options. Field names follow the reference flags."""
+
+    # --- experiment specifics (reference options/base_options.py:13-23)
+    name: str = "audiosr_tpu"
+    checkpoints_dir: str = "./checkpoints"
+    model: str = "pix2pixHD"
+    norm: str = "instance"            # instance | batch
+    use_dropout: bool = False
+    data_type: int = 32
+    verbose: bool = False
+    fp16: bool = False                 # reference AMP flag; here: bf16 compute
+    seed: int = 1234
+    is_train: bool = True
+
+    # --- input/output sizes (reference options/base_options.py:26-31)
+    batch_size: int = 1
+    label_nc: int = 0
+    input_nc: int = 2
+    output_nc: int = 2
+
+    # --- inputs (reference options/base_options.py:34-41)
+    dataroot: str = ""
+    eval_dataroot: str = ""
+    serial_batches: bool = False
+    n_threads: int = 2
+    max_dataset_size: int = 2**63 - 1
+    alpha: float = 0.6                 # phase encoding factor
+
+    # --- generator (reference options/base_options.py:48-54)
+    net_g: str = "global"             # global | local | encoder
+    ngf: int = 64
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    n_blocks_local: int = 3
+    n_local_enhancers: int = 1
+    niter_fix_global: int = 0
+
+    # --- instance-wise features (reference options/base_options.py:57-64)
+    no_instance: bool = True
+    instance_feat: bool = False
+    label_feat: bool = False
+    feat_num: int = 3
+    load_features: bool = False
+    n_downsample_e: int = 4
+    nef: int = 16
+    n_clusters: int = 10
+
+    # --- mask options (reference options/base_options.py:67-70)
+    mask: bool = False
+    mask_mode: Optional[str] = None   # None | mode0 | mode1 | mode2
+    explicit_encoding: bool = False
+    min_value: float = 1e-7
+
+    # --- display / cadence (reference options/train_options.py:8-15)
+    display_freq: int = 100
+    print_freq: int = 100
+    save_latest_freq: int = 500
+    save_epoch_freq: int = 10
+    eval_freq: int = 2000
+    no_html: bool = False
+    debug: bool = False
+    abs_spectro: bool = False
+    tf_log: bool = False
+
+    # --- training (reference options/train_options.py:18-29)
+    continue_train: bool = False
+    load_pretrain: str = ""
+    which_epoch: str = "latest"
+    phase: str = "train"
+    niter: int = 100
+    niter_decay: int = 100
+    beta1: float = 0.5
+    lr: float = 0.0002
+    validation_split: float = 0.05
+    val_indices: Optional[str] = None
+    eval_size: int = 100
+    phase_encoding_mode: Optional[str] = None
+
+    # --- discriminators (reference options/train_options.py:32-44)
+    num_d: int = 2
+    n_layers_d: int = 3
+    ndf: int = 64
+    lambda_feat: float = 10.0
+    lambda_mat: float = 10.0
+    lambda_time: float = 0.4
+    no_gan_feat_loss: bool = False
+    no_vgg_loss: bool = True
+    use_match_loss: bool = False
+    no_lsgan: bool = False
+    pool_size: int = 0
+    use_hifigan_d: bool = False
+    use_time_d: bool = False
+
+    # --- STFT params (reference options/train_options.py:47-54)
+    lr_sampling_rate: int = LR_SAMPLE_RATE
+    hr_sampling_rate: int = HR_SAMPLE_RATE
+    segment_length: int = FRAME_LENGTH
+    n_fft: int = N_FFT
+    hop_length: int = HOP_LENGTH
+    win_length: int = WIN_LENGTH
+    center: bool = True
+    is_lr_input: bool = False
+
+    # --- test-only (reference options/test_options.py:6-16)
+    results_dir: str = "./results"
+    how_many: int = 50
+    cluster_path: str = "features_clustered_010.npy"
+    use_encoded_image: bool = False
+
+    # --- TPU-native additions (no reference analog; see SURVEY.md §2.3)
+    mesh_shape: Tuple[int, ...] = (-1,)     # -1: all visible devices on one axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    frames_per_segment: int = BINS
+
+    # ------------------------------------------------------------------
+    @property
+    def up_ratio(self) -> float:
+        return self.hr_sampling_rate / self.lr_sampling_rate
+
+    @property
+    def netg_input_nc(self) -> int:
+        nc = self.label_nc if self.label_nc != 0 else self.input_nc
+        if not self.no_instance:
+            nc += 1
+        if self.use_features:
+            nc += self.feat_num
+        return nc
+
+    @property
+    def netd_input_nc(self) -> int:
+        nc = (self.label_nc if self.label_nc != 0 else self.input_nc) + self.output_nc
+        if not self.no_instance:
+            nc += 1
+        return nc
+
+    @property
+    def use_features(self) -> bool:
+        return self.instance_feat or self.label_feat
+
+    @property
+    def expr_dir(self) -> str:
+        return os.path.join(self.checkpoints_dir, self.name)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------------
+    def apply_debug(self) -> "Config":
+        """--debug semantics (reference train.py:72-77)."""
+        if not self.debug:
+            return self
+        return self.replace(display_freq=1, print_freq=1, niter=1, niter_decay=0,
+                            max_dataset_size=10)
+
+    def save_opt_txt(self) -> str:
+        """Persist all options, `opt.txt` parity (reference options/base_options.py:98-107)."""
+        os.makedirs(self.expr_dir, exist_ok=True)
+        path = os.path.join(self.expr_dir, "opt.txt")
+        if self.continue_train:
+            return path
+        with open(path, "w") as f:
+            f.write("------------ Options -------------\n")
+            for k, v in sorted(dataclasses.asdict(self).items()):
+                f.write("%s: %s\n" % (k, v))
+            f.write("-------------- End ----------------\n")
+        return path
+
+
+# ---------------------------------------------------------------------------
+# CLI layer
+# ---------------------------------------------------------------------------
+_FLAG_ALIASES = {
+    # reference spelling -> dataclass field
+    "batchSize": "batch_size",
+    "nThreads": "n_threads",
+    "netG": "net_g",
+    "num_D": "num_d",
+    "n_layers_D": "n_layers_d",
+    "n_downsample_E": "n_downsample_e",
+    "no_ganFeat_loss": "no_gan_feat_loss",
+    "use_hifigan_D": "use_hifigan_d",
+    "use_time_D": "use_time_d",
+    "isTrain": "is_train",
+}
+
+
+def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
+    cfg = defaults or Config()
+    p = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(Config):
+        default = getattr(cfg, f.name)
+        names = ["--" + f.name]
+        for alias, target in _FLAG_ALIASES.items():
+            if target == f.name:
+                names.append("--" + alias)
+        if f.type in ("bool", bool):
+            if default:
+                p.add_argument(*(n.replace("--", "--no_", 1) for n in names),
+                               dest=f.name, action="store_false", default=True)
+            else:
+                p.add_argument(*names, dest=f.name, action="store_true",
+                               default=False)
+        elif f.name in ("mesh_shape", "mesh_axes"):
+            p.add_argument(*names, dest=f.name, type=str, default=None)
+        else:
+            typ = type(default) if default is not None else str
+            p.add_argument(*names, dest=f.name, type=typ, default=default)
+    return p
+
+
+def parse_config(argv=None, defaults: Optional[Config] = None,
+                 is_train: bool = True, save: bool = True) -> Config:
+    """Parse CLI args to a Config; prints and persists opt.txt like
+    reference options/base_options.py:74-108."""
+    ns = build_parser(defaults).parse_args(argv)
+    kw = vars(ns)
+    if kw.get("mesh_shape") is None:
+        kw["mesh_shape"] = (defaults or Config()).mesh_shape
+    elif isinstance(kw["mesh_shape"], str):
+        kw["mesh_shape"] = tuple(int(x) for x in kw["mesh_shape"].split(",") if x)
+    if kw.get("mesh_axes") is None:
+        kw["mesh_axes"] = (defaults or Config()).mesh_axes
+    elif isinstance(kw["mesh_axes"], str):
+        kw["mesh_axes"] = tuple(x for x in kw["mesh_axes"].split(",") if x)
+    cfg = Config(**kw).replace(is_train=is_train)
+    cfg = cfg.apply_debug()
+    print("------------ Options -------------")
+    for k, v in sorted(dataclasses.asdict(cfg).items()):
+        print("%s: %s" % (k, v))
+    print("-------------- End ----------------")
+    if save:
+        cfg.save_opt_txt()
+    return cfg
