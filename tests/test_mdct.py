@@ -97,7 +97,8 @@ def test_mdct4_jax_matches_np_oracle(rng_np):
     mdct = MDCT4(n_fft=1024, hop_length=512, win_length=1024, window=win, center=True)
     got = np.asarray(mdct(jnp.asarray(x)))
     want = mdct4_np(x, 1024, 512, win, center=True)
-    np.testing.assert_allclose(got, want, atol=2e-5)
+    # f32 matmul vs f64 oracle; outputs reach ~65 in magnitude
+    np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_win_less_than_nfft(rng_np):
