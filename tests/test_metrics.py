@@ -1,0 +1,63 @@
+"""Metric sanity mirroring reference test/metrics_test.ipynb cells 4-7:
+resample-degraded audio scores worse than the reference signal; SNR/LSD of a
+perfect reconstruction are ideal."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pix2pixhdaudiosr_tpu.metrics import compute_metrics
+from pix2pixhdaudiosr_tpu.ops.audio import resample, resample_np
+
+
+def _tone_mix(n, fs, freqs, rng):
+    t = np.arange(n) / fs
+    x = sum(a * np.sin(2 * np.pi * f * t) for f, a in freqs)
+    return (x + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_perfect_sr_beats_lowpassed_lr(rng_np):
+    fs = 48000
+    hr = _tone_mix(32512, fs, [(400, 0.5), (3000, 0.3), (9000, 0.2)], rng_np)
+    lr = resample_np(resample_np(hr, fs, 8000), 8000, fs)[: len(hr)]
+    lr = np.pad(lr, (0, len(hr) - len(lr)))
+    mse, snr_sr, snr_lr, *_, lsd = compute_metrics(
+        jnp.asarray(hr), jnp.asarray(lr), jnp.asarray(hr),
+        n_fft=512, hop_length=256, win_length=512)
+    assert snr_sr > 100           # perfect reconstruction
+    assert snr_lr < snr_sr
+    assert lsd < 1e-3
+
+
+def test_degraded_sr_scores_between(rng_np):
+    fs = 48000
+    hr = _tone_mix(32512, fs, [(400, 0.5), (3000, 0.3), (9000, 0.2)], rng_np)
+    lr = resample_np(resample_np(hr, fs, 8000), 8000, fs)
+    lr = np.pad(lr, (0, max(0, len(hr) - len(lr))))[: len(hr)]
+    sr = 0.5 * hr + 0.5 * lr      # halfway reconstruction
+    mse, snr_sr, snr_lr, *_, lsd_sr = compute_metrics(
+        jnp.asarray(hr), jnp.asarray(lr), jnp.asarray(sr),
+        n_fft=512, hop_length=256, win_length=512)
+    _, _, _, *_, lsd_lr = compute_metrics(
+        jnp.asarray(hr), jnp.asarray(lr), jnp.asarray(lr),
+        n_fft=512, hop_length=256, win_length=512)
+    assert snr_sr > snr_lr
+    assert lsd_sr < lsd_lr
+
+
+def test_resample_device_matches_host(rng_np):
+    x = rng_np.standard_normal(9600).astype(np.float32)
+    host = resample_np(x, 48000, 8000)
+    dev = np.asarray(resample(jnp.asarray(x), 48000, 8000))
+    assert host.shape == dev.shape == (1600,)
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_resample_preserves_tone(rng_np):
+    fs, f0 = 48000, 440.0
+    t = np.arange(48000) / fs
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    y = resample_np(x, fs, 8000)
+    t8 = np.arange(len(y)) / 8000
+    want = np.sin(2 * np.pi * f0 * t8)
+    # interior only (filter edge effects)
+    np.testing.assert_allclose(y[200:-200], want[200:-200], atol=2e-3)
