@@ -49,12 +49,20 @@ def _avgpool_counts(h: int, w: int) -> np.ndarray:
 
 
 def avg_pool_3s2(x: jnp.ndarray) -> jnp.ndarray:
-    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) on NHWC."""
-    summed = jax.lax.reduce_window(
-        x, jnp.zeros((), x.dtype), jax.lax.add,
-        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
-    counts = jnp.asarray(_avgpool_counts(x.shape[1], x.shape[2]), x.dtype)
+    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) on NHWC.
+
+    Implemented as nine shifted strided slices summed (not lax.reduce_window,
+    whose add-monoid lacks a linearization rule when nested inside an outer
+    vjp trace on jax 0.9; slices+adds are fully differentiable and fuse)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    summed = None
+    for di in range(3):
+        for dj in range(3):
+            part = padded[:, di : di + 2 * oh - 1 : 2, dj : dj + 2 * ow - 1 : 2, :]
+            summed = part if summed is None else summed + part
+    counts = jnp.asarray(_avgpool_counts(h, w), x.dtype)
     return summed / counts[None, :, :, None]
 
 

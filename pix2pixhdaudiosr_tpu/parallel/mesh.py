@@ -1,0 +1,52 @@
+"""Device mesh and sharding rules.
+
+The reference's entire distributed story is single-process
+torch.nn.DataParallel over NCCL with P2P disabled (reference
+models/models.py:17-18, train.py:24). The TPU-native replacement is a
+jax.sharding.Mesh with a `data` axis: the batch is sharded over ICI, params
+are replicated, and every cross-device reduction (loss means, the batch-global
+max/min in to_spectro) is an XLA collective inserted by pjit — no user-level
+communication code.
+
+Multi-host: call jax.distributed.initialize() before make_mesh and the same
+code spans hosts (DCN across hosts, ICI within); feed per-host shards via
+jax.make_array_from_process_local_data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape: Tuple[int, ...] = (-1,),
+              axes: Tuple[str, ...] = ("data",),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    shape = list(mesh_shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = n // known
+    total = int(np.prod(shape))
+    assert total <= n, f"mesh {shape} needs {total} devices, have {n}"
+    dev_array = np.asarray(devices[:total]).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put every leaf with its batch dim sharded over `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,132 @@
+"""End-to-end GAN train step on synthetic audio — the integration test the
+reference lacks (its closest analog is the --debug smoke run, reference
+train.py:72-77). Includes an 8-virtual-device data-parallel run (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pix2pixhdaudiosr_tpu.config import Config
+from pix2pixhdaudiosr_tpu.parallel import make_mesh, shard_batch, replicated
+from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+from pix2pixhdaudiosr_tpu.trainer import (init_state, make_eval_step,
+                                          make_train_step, set_learning_rate)
+
+TINY = Config(
+    net_g="global", ngf=4, n_downsample_global=2, n_blocks_global=1,
+    ndf=4, n_layers_d=2, num_d=2, input_nc=2, output_nc=2, label_nc=0,
+    explicit_encoding=True, mask_mode="mode2", no_instance=True,
+    no_vgg_loss=True, batch_size=2,
+    segment_length=32512, compute_dtype="float32",
+)
+
+
+def synth_batch(n, seg, rng):
+    t = np.arange(seg) / 48000
+    hr = np.stack([np.sin(2 * np.pi * (300 + 100 * i) * t) for i in range(n)])
+    hr = (hr + 0.05 * rng.standard_normal((n, seg))).astype(np.float32)
+    lr = hr * 0.8  # stand-in for the resampled pair; shapes/dtypes match
+    return {"label": jnp.asarray(lr), "image": jnp.asarray(hr)}
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    system = Pix2PixHDSystem(TINY)
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=2)
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    return system, state, step
+
+
+def test_loss_names(tiny_setup):
+    system, *_ = tiny_setup
+    assert system.loss_names == ["G_GAN", "G_GAN_Feat", "D_real", "D_fake"]
+
+
+def test_train_step_runs_and_updates(tiny_setup):
+    system, state, step = tiny_setup
+    batch = synth_batch(2, TINY.segment_length, np.random.default_rng(0))
+    new_state, losses, aux = step(state, batch, jax.random.PRNGKey(1), None,
+                                  fix_global=False, with_visuals=False)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+    # both G and D moved
+    g0 = jax.tree.leaves(state.params["G"])[0]
+    g1 = jax.tree.leaves(new_state.params["G"])[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    d0 = jax.tree.leaves(state.params["D"])[0]
+    d1 = jax.tree.leaves(new_state.params["D"])[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    assert int(new_state.step) == 1
+    assert aux["sr"].shape == system.spectro_shape(2)
+
+
+def test_two_steps_decrease_nothing_nan(tiny_setup):
+    system, state, step = tiny_setup
+    batch = synth_batch(2, TINY.segment_length, np.random.default_rng(1))
+    s = state
+    for i in range(2):
+        s, losses, _ = step(s, batch, jax.random.PRNGKey(i), None,
+                            fix_global=False, with_visuals=False)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_visuals(tiny_setup):
+    system, state, step = tiny_setup
+    batch = synth_batch(2, TINY.segment_length, np.random.default_rng(2))
+    _, _, aux = step(state, batch, jax.random.PRNGKey(3), None,
+                     fix_global=False, with_visuals=True)
+    vis = aux["visuals"]
+    assert vis["label"].shape == (512, 128)
+    assert set(vis) >= {"label", "generated", "real"}
+
+
+def test_eval_step(tiny_setup):
+    system, state, _ = tiny_setup
+    ev = make_eval_step(system)
+    batch = synth_batch(2, TINY.segment_length, np.random.default_rng(3))
+    sr_audio, sr_spec = ev(state.params["G"], batch["label"], jax.random.PRNGKey(0))
+    assert sr_audio.shape == (2, TINY.segment_length)
+    assert np.all(np.isfinite(np.asarray(sr_audio)))
+
+
+def test_data_parallel_8dev():
+    """Same step over an 8-device mesh with the batch sharded on `data`."""
+    assert len(jax.devices()) == 8
+    system = Pix2PixHDSystem(TINY)
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=8)
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    mesh = make_mesh((-1,), ("data",))
+    batch = synth_batch(8, TINY.segment_length, np.random.default_rng(0))
+    batch = shard_batch(batch, mesh)
+    state = jax.device_put(state, replicated(mesh))
+    new_state, losses, _ = step(state, batch, jax.random.PRNGKey(1), None,
+                                fix_global=False, with_visuals=False)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_fix_global_masks_trunk():
+    cfg = TINY.replace(net_g="local", n_local_enhancers=1, n_blocks_local=1,
+                       niter_fix_global=1)
+    system = Pix2PixHDSystem(cfg)
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=2)
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    batch = synth_batch(2, cfg.segment_length, np.random.default_rng(0))
+    new_state, losses, _ = step(state, batch, jax.random.PRNGKey(1), None,
+                                fix_global=True, with_visuals=False)
+    gp0 = state.params["G"]["params"]
+    gp1 = new_state.params["G"]["params"]
+    for key in gp0:
+        a = np.asarray(jax.tree.leaves(gp0[key])[0])
+        b = np.asarray(jax.tree.leaves(gp1[key])[0])
+        if key.startswith("enh"):
+            assert not np.allclose(a, b), key
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=key)
+
+
+def test_lr_update():
+    system = Pix2PixHDSystem(TINY)
+    state, *_ = init_state(system, jax.random.PRNGKey(0), batch=1)
+    state = set_learning_rate(state, 1e-5)
+    assert float(state.opt_g.hyperparams["learning_rate"]) == pytest.approx(1e-5)
