@@ -1,0 +1,96 @@
+"""Benchmark: flagship inference throughput (MDCT encode + G3L2@48ngf
+generator forward) on one chip, the BASELINE.md headline metric
+(spectrogram-frames/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline: measured samples/sec divided by an estimated reference GPU
+samples/sec. The reference publishes no throughput (BASELINE.md), so the
+estimate is analytic: generator FLOPs per sample (from XLA cost analysis)
+divided by an assumed 25 TFLOP/s effective fp16 throughput for the
+reference's single training GPU (V100-class at ~20% conv utilization,
+consistent with its batchSize-64 fp16 recipes). Recorded in BASELINE.md.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_EFFECTIVE_FLOPS = 25e12  # assumed reference GPU effective fp16 FLOP/s
+
+
+def main():
+    from __graft_entry__ import _flagship_cfg
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+
+    cfg = _flagship_cfg()
+    system = Pix2PixHDSystem(cfg)
+    batch = 64  # the reference's production batch size (train_script.sh)
+
+    params_g = jax.jit(lambda k: system.netG.init(
+        k, jnp.zeros(system.spectro_shape(1), jnp.float32)))(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def fwd(params, lr_audio, rng):
+        sr_spec, _, _, _ = system.inference(params, lr_audio, rng)
+        return sr_spec
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, cfg.segment_length))
+                        .astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(1)
+
+    lowered = fwd.lower(params_g, audio, key)
+    compiled = lowered.compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # Synchronization: on the axon relay backend block_until_ready does not
+    # reliably wait for AOT executions; fetching a derived scalar does (the
+    # device queue is serialized, so it fences all prior calls).
+    sumjit = jax.jit(lambda x: x.sum())
+
+    def run(iters):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(iters):
+            o = compiled(params_g, audio, key)
+        float(sumjit(o))
+        return time.perf_counter() - t0
+
+    out = compiled(params_g, audio, key)
+    float(sumjit(out))  # warm both programs
+    run(2)
+    t_small, t_big = run(5), run(20)
+    iters = 15
+    dt = t_big - t_small  # differenced: removes dispatch/sync constants
+
+    frames_per_sec = batch * system.n_frames * iters / dt
+    samples_per_sec = batch * cfg.segment_length * iters / dt
+
+    if flops:
+        ref_sps = REF_EFFECTIVE_FLOPS / (flops / batch) * cfg.segment_length
+        vs_baseline = samples_per_sec / ref_sps
+    else:
+        vs_baseline = 0.0
+
+    print(json.dumps({
+        "metric": "mdct_g_forward_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
