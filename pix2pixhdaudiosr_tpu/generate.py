@@ -1,0 +1,106 @@
+"""File-to-file chunked inference CLI.
+
+Parity: reference generate_audio.py:14-83 — load ONE wav, resample down/up
+(or --is_lr_input), chop into segments, batch through the generator, invert
+each batch with the eval IMDCT helper, concatenate, scale by
+sqrt(up_ratio - 1), score MSE/SNR/LSD against the raw input, emit the HTML
+visuals, metric.txt, and sr/lr/hr wavs into checkpoints_dir/name/.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, parse_config
+from .data import AudioTestDataset, write_wav
+from .metrics import compute_metrics
+from .system import Pix2PixHDSystem
+from .trainer import init_state
+from .utils import CheckpointManager, Visualizer
+from .utils.spectro_img import compute_visuals
+
+
+def main(argv=None, cfg: Optional[Config] = None) -> None:
+    if cfg is None:
+        cfg = parse_config(argv, is_train=False)
+    visualizer = Visualizer(cfg.replace(is_train=True))  # web dir on
+
+    ds = AudioTestDataset(cfg.dataroot, cfg.lr_sampling_rate,
+                          cfg.hr_sampling_rate, cfg.segment_length,
+                          is_lr_input=cfg.is_lr_input)
+    print("Audio length:", ds.audio_len)
+    print("#audio segments = %d" % len(ds))
+
+    system = Pix2PixHDSystem(cfg.replace(is_train=True))
+    state, *_ = init_state(system, jax.random.PRNGKey(cfg.seed), batch=1)
+    ckpt = CheckpointManager(cfg.expr_dir)
+    src = cfg.load_pretrain or cfg.expr_dir
+    state = ckpt.restore(cfg.which_epoch, target=jax.device_get(state),
+                         expr_dir=src)
+    params_g = state.params["G"]
+
+    @jax.jit
+    def infer(pg, lr_audio, rng):
+        sr_spec, lr_pha, lr_norm, _ = system.inference(pg, lr_audio, rng)
+        wav = system.codec.imdct_eval(jnp.abs(sr_spec), lr_pha, lr_norm, rng=rng)
+        return wav
+
+    segments = ds.segments
+    outs = []
+    bs = max(1, cfg.batch_size)
+    for i in range(0, len(segments), bs):
+        batch = segments[i : i + bs]
+        pad = bs - batch.shape[0]
+        if pad:
+            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:],
+                                                    batch.dtype)])
+        wav = np.asarray(infer(params_g, jnp.asarray(batch),
+                               jax.random.PRNGKey(cfg.seed + i)))
+        outs.append(wav[: wav.shape[0] - pad] if pad else wav)
+    audio = np.sqrt(cfg.up_ratio - 1) * np.concatenate(outs, 0).reshape(-1)
+
+    n = ds.audio_len
+    lr_trim = ds.lr_audio[:n]
+    mse, snr_sr, snr_lr, *_, lsd = compute_metrics(
+        jnp.asarray(ds.raw_audio[None, :n]), jnp.asarray(lr_trim[None]),
+        jnp.asarray(audio[None, :n]), cfg.n_fft, cfg.hop_length,
+        cfg.win_length, cfg.center)
+    print("MSE: %.4f" % mse)
+    print("SNR_SR: %.4f" % snr_sr)
+    print("SNR_LR: %.4f" % snr_lr)
+    print("LSD: %.4f" % lsd)
+
+    # visuals (reference generate_audio.py:62-74)
+    rng = jax.random.PRNGKey(cfg.seed)
+    lr_spec, _, _, sr_spec, _, _ = system.encode_input(
+        jnp.asarray(ds.lr_audio[None]), jnp.asarray(audio[None]), rng)
+    if cfg.explicit_encoding:
+        lr_mag = 0.5 * (lr_spec[0, :, :, 0] + lr_spec[0, :, :, 1])
+        sr_mag = 0.5 * (sr_spec[0, :, :, 0] + sr_spec[0, :, :, 1])
+    else:
+        lr_mag, sr_mag = lr_spec[0, :, :, 0], sr_spec[0, :, :, 0]
+    lr_img, lr_hist, _ = compute_visuals(sp=np.asarray(lr_mag), abs=True)
+    sr_img, sr_hist, _ = compute_visuals(sp=np.asarray(sr_mag), abs=True)
+    visualizer.display_current_results(
+        {"lable_spectro": lr_img, "generated_spectro": sr_img,
+         "lable_hist": lr_hist, "generated_hist": sr_hist}, 1, 1)
+
+    with open(os.path.join(cfg.expr_dir, "metric.txt"), "w") as f:
+        f.write("MSE,SNR_SR,LSD\n")
+        f.write("%f,%f,%f" % (mse, snr_sr, lsd))
+    write_wav(os.path.join(cfg.expr_dir, "sr_audio.wav"), audio,
+              cfg.hr_sampling_rate)
+    write_wav(os.path.join(cfg.expr_dir, "lr_audio.wav"), ds.lr_audio,
+              cfg.hr_sampling_rate)
+    write_wav(os.path.join(cfg.expr_dir, "hr_audio.wav"), ds.raw_audio,
+              ds.in_sampling_rate)
+    print("wrote outputs to", cfg.expr_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,24 @@ def make_mesh(mesh_shape: Tuple[int, ...] = (-1,),
     return Mesh(dev_array, axes)
 
 
+def make_data_mesh(batch_size: int, mesh_shape: Tuple[int, ...] = (-1,),
+                   axes: Tuple[str, ...] = ("data",), devices=None) -> Mesh:
+    """Data mesh whose `data` axis divides the global batch: uses the largest
+    divisor of batch_size that fits the available devices (a batch smaller
+    than the device count simply uses fewer devices, like the reference's
+    DataParallel over a subset of --gpu_ids)."""
+    import math
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if mesh_shape == (-1,) and axes == ("data",):
+        d = math.gcd(batch_size, n)
+        while d < n and batch_size % d == 0 and d * 2 <= n and batch_size % (d * 2) == 0:
+            d *= 2
+        d = max(1, math.gcd(batch_size, d))
+        return make_mesh((d,), axes, devices=devices[:d])
+    return make_mesh(mesh_shape, axes, devices=devices)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(axis))

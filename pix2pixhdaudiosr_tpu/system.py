@@ -246,7 +246,10 @@ class Pix2PixHDSystem:
         losses.update(d_parts)
         losses = filter_losses(losses, self.flags)
 
-        aux = {"sr": sr_d}
+        aux = {"sr": sr_d,
+               # the D input pair for the host-side fake pool (reference
+               # util/image_pool.py via models/pix2pixHD_model.py:304-312)
+               "fake_pair": jnp.concatenate([lr_spec, sr_d], axis=-1)}
         if with_visuals:
             aux["visuals"] = self._visual_slices(lr_spec, sr_d, hr_spec,
                                                  lr_pha, hr_pha)

@@ -1,0 +1,228 @@
+"""Training CLI.
+
+Parity: reference train.py:26-231 — resumable epoch loop with sample-counted
+print/display/save/eval cadence, lcm(print_freq, batch) alignment, SIGINT
+save-and-exit, the niter_fix_global switch, linear LR decay after `niter`
+epochs, eval.csv rows of {err, snr, snr_seg, pesq, lsd}, and the optional
+fake pool.
+
+TPU-native: one jitted two-optimizer step over a data-parallel mesh; the host
+loop only feeds sharded batches and handles cadence/checkpoint/logging.
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import os
+import signal
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .config import Config, parse_config
+from .data import AudioDataset, Loader, discover_files, train_val_split
+from .metrics import compute_metrics
+from .parallel import replicated, shard_batch
+from .parallel.mesh import make_data_mesh
+from .system import Pix2PixHDSystem
+from .trainer import (init_state, make_eval_step, make_pool_steps,
+                      make_train_step, reset_opt_g, set_learning_rate)
+from .utils import CheckpointManager, Visualizer
+from .utils.image_pool import ImagePool
+
+
+def lcm(a: int, b: int) -> int:
+    return abs(a * b) // math.gcd(a, b) if a and b else 0
+
+
+def main(argv=None, cfg: Optional[Config] = None) -> None:
+    if cfg is None:
+        cfg = parse_config(argv, is_train=True)
+    np.random.seed(cfg.seed)
+
+    ckpt = CheckpointManager(cfg.expr_dir)
+    if cfg.continue_train:
+        start_epoch, epoch_iter = ckpt.load_iter()
+        print("Resuming from epoch %d at iteration %d" % (start_epoch, epoch_iter))
+    else:
+        start_epoch, epoch_iter = 1, 0
+
+    # ---------------- data
+    files = discover_files(cfg.dataroot, cfg.max_dataset_size)
+    train_idx, val_idx = train_val_split(
+        len(files), cfg.validation_split, cfg.seed,
+        os.path.join(cfg.expr_dir, "validation_indices.json")
+        if cfg.validation_split > 0 else None)
+    dataset = AudioDataset(cfg.dataroot, cfg.lr_sampling_rate,
+                           cfg.hr_sampling_rate, cfg.segment_length,
+                           seed=cfg.seed, files=files)
+    train_loader = Loader(dataset, train_idx, cfg.batch_size,
+                          shuffle=not cfg.serial_batches, seed=cfg.seed,
+                          n_threads=cfg.n_threads)
+    eval_loader = Loader(dataset, val_idx, cfg.batch_size, shuffle=False,
+                         seed=cfg.seed, n_threads=cfg.n_threads) \
+        if val_idx else None
+    dataset_size = len(train_loader) * cfg.batch_size
+    print("#training data = %d" % dataset_size)
+    print("#evaluating data = %d" % (len(val_idx) if val_idx else 0))
+
+    # ---------------- model/state
+    system = Pix2PixHDSystem(cfg)
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(cfg.seed),
+                                     batch=cfg.batch_size)
+    if cfg.continue_train and ckpt.has(cfg.which_epoch):
+        state = ckpt.restore(cfg.which_epoch, target=jax.device_get(state))
+        print("restored checkpoint '%s'" % cfg.which_epoch)
+    elif cfg.load_pretrain:
+        state = ckpt.restore(cfg.which_epoch, target=jax.device_get(state),
+                             expr_dir=cfg.load_pretrain)
+        print("warm-started from %s" % cfg.load_pretrain)
+
+    mesh = make_data_mesh(cfg.batch_size, cfg.mesh_shape, cfg.mesh_axes)
+    state = jax.device_put(state, replicated(mesh))
+
+    use_pool = cfg.pool_size > 0
+    pool = ImagePool(cfg.pool_size, cfg.seed)
+    if use_pool:
+        g_step, d_step = make_pool_steps(system, opt_g, opt_d)
+    else:
+        step = make_train_step(system, opt_g, opt_d)
+    eval_step = make_eval_step(system)
+    visualizer = Visualizer(cfg)
+
+    # ---------------- cadence (reference train.py:70-82)
+    print_freq = lcm(cfg.print_freq, cfg.batch_size)
+    total_steps = (start_epoch - 1) * dataset_size + epoch_iter
+    display_delta = total_steps % cfg.display_freq
+    print_delta = total_steps % print_freq
+    save_delta = total_steps % cfg.save_latest_freq
+    eval_delta = total_steps % cfg.eval_freq if cfg.validation_split > 0 else -1
+
+    end = {"flag": False}
+
+    def _sigint(_sig, _frm):
+        print("You pressed Ctrl+C!")
+        end["flag"] = True
+
+    signal.signal(signal.SIGINT, _sigint)
+
+    eval_path = os.path.join(cfg.expr_dir, "eval.csv")
+
+    def eval_model(params_g):
+        """reference train.py:95-125."""
+        errs, snrs, snr_segs, pesqs, lsds = [], [], [], [], []
+        for j, data in enumerate(eval_loader):
+            sr_audio, _ = eval_step(params_g, data["label"],
+                                    jax.random.PRNGKey(cfg.seed + j))
+            m, s_sr, s_lr, ss_sr, ss_lr, pesq, lsd = compute_metrics(
+                data["image"], data["label"], np.asarray(sr_audio),
+                cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center)
+            errs.append(m)
+            snrs.append((s_lr, s_sr))
+            snr_segs.append((ss_lr, ss_sr))
+            pesqs.append(pesq)
+            lsds.append(lsd)
+            if j >= cfg.eval_size:
+                break
+        result = {"err": float(np.mean(errs)), "snr": float(np.mean(snrs)),
+                  "snr_seg": float(np.mean(snr_segs)),
+                  "pesq": float(np.mean(pesqs)), "lsd": float(np.mean(lsds))}
+        with open(eval_path, "a") as f:
+            w = csv.DictWriter(f, fieldnames=result.keys())
+            if f.tell() == 0:
+                w.writeheader()
+            w.writerow(result)
+        print("Evaluation:", result)
+
+    # ---------------- epoch loop (reference train.py:128-231)
+    lr_value = cfg.lr
+    fix_global = cfg.niter_fix_global > 0 and start_epoch <= cfg.niter_fix_global
+    iter_start_time = time.time()
+    for epoch in range(start_epoch, cfg.niter + cfg.niter_decay + 1):
+        epoch_start_time = time.time()
+        if epoch != start_epoch:
+            epoch_iter = epoch_iter % dataset_size
+        for data in train_loader:
+            if end["flag"]:
+                print("exiting and saving the model at epoch %d, iters %d"
+                      % (epoch, total_steps))
+                ckpt.save(state, "latest")
+                ckpt.save(state, str(epoch))
+                ckpt.save_iter(epoch + 1, 0)
+                return
+            if total_steps % print_freq == print_delta:
+                iter_start_time = time.time()
+            total_steps += cfg.batch_size
+            epoch_iter += cfg.batch_size
+            save_fake = total_steps % cfg.display_freq == display_delta
+
+            batch = shard_batch({"label": data["label"], "image": data["image"]},
+                                mesh)
+            rng = jax.random.PRNGKey(cfg.seed * 1000003 + total_steps)
+            if use_pool:
+                state, losses, aux = g_step(state, batch, rng,
+                                            fix_global=fix_global,
+                                            with_visuals=save_fake)
+                pooled = pool.query(np.asarray(aux["fake_pair"]))
+                state, d_losses = d_step(state, batch, rng,
+                                         shard_batch(pooled, mesh))
+                losses = {**losses, **d_losses}
+            else:
+                state, losses, aux = step(state, batch, rng, None,
+                                          fix_global=fix_global,
+                                          with_visuals=save_fake)
+
+            if total_steps % print_freq == print_delta:
+                errors = {k: float(v) for k, v in losses.items()}
+                t = (time.time() - iter_start_time) / print_freq
+                visualizer.print_current_errors(epoch, epoch_iter, errors, t)
+                visualizer.plot_current_errors(errors, total_steps)
+
+            if save_fake and "visuals" in aux:
+                raw = {k: np.asarray(v) for k, v in aux["visuals"].items()}
+                visualizer.display_current_results(
+                    visualizer.render_visuals(raw, cfg.abs_spectro),
+                    epoch, total_steps)
+
+            if total_steps % cfg.save_latest_freq == save_delta:
+                print("saving the latest model (epoch %d, total_steps %d)"
+                      % (epoch, total_steps))
+                ckpt.save(state, "latest")
+                ckpt.save_iter(epoch, epoch_iter)
+
+            if eval_loader and total_steps % cfg.eval_freq == eval_delta:
+                eval_model(state.params["G"])
+
+            if epoch_iter >= dataset_size:
+                break
+
+        print("End of epoch %d / %d \t Time Taken: %d sec"
+              % (epoch, cfg.niter + cfg.niter_decay,
+                 time.time() - epoch_start_time))
+
+        if epoch % cfg.save_epoch_freq == 0:
+            print("saving the model at the end of epoch %d, iters %d"
+                  % (epoch, total_steps))
+            ckpt.save(state, "latest")
+            ckpt.save(state, str(epoch))
+            ckpt.save_iter(epoch + 1, 0)
+
+        # fix-global -> full finetune switch (reference train.py:226-227)
+        if cfg.niter_fix_global != 0 and epoch == cfg.niter_fix_global:
+            state = reset_opt_g(state, opt_g, lr_value)
+            fix_global = False
+            print("------------ Now also finetuning global generator -----------")
+
+        # linear LR decay (reference train.py:230-231)
+        if epoch > cfg.niter:
+            lr_value -= cfg.lr / cfg.niter_decay
+            state = set_learning_rate(state, lr_value)
+            if cfg.verbose:
+                print("update learning rate: %f" % lr_value)
+
+
+if __name__ == "__main__":
+    main()

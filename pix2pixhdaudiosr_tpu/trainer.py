@@ -124,6 +124,45 @@ def make_train_step(system: Pix2PixHDSystem,
                    donate_argnums=(0,) if donate else ())
 
 
+def make_pool_steps(system: Pix2PixHDSystem,
+                    opt_g: optax.GradientTransformation,
+                    opt_d: optax.GradientTransformation):
+    """Split G/D steps for pool_size > 0 (reference util/image_pool.py flow):
+    g_step updates G and returns the (label, fake) pair; the host pool mixes
+    history; d_step updates D against the pooled pair. The unused gradient
+    branch in each step is dead-code-eliminated by XLA. Both steps must get
+    the SAME rng so the mask noise (and thus lr_spec) matches."""
+
+    def g_step(state: TrainState, batch, rng, fix_global: bool,
+               with_visuals: bool):
+        losses, grads_g, _, aux = system.losses_and_grads(
+            state.params, batch, rng, with_visuals=with_visuals)
+        if fix_global:
+            grads_g = _mask_fixed_global(grads_g, system.cfg.n_local_enhancers)
+        pg, _ = _split_params(state.params)
+        upd_g, new_opt_g = opt_g.update(grads_g, state.opt_g, pg)
+        pg = optax.apply_updates(pg, upd_g)
+        params = dict(state.params)
+        params["G"] = pg["G"]
+        return state.replace(params=params, opt_g=new_opt_g), losses, aux
+
+    def d_step(state: TrainState, batch, rng, pooled_fake):
+        # note: G params here are post-update, but the D losses only consume
+        # the pooled pair / encode outputs, which depend on rng, not on G.
+        losses, _, grads_d, _ = system.losses_and_grads(
+            state.params, batch, rng, pooled_fake=pooled_fake)
+        _, pd = _split_params(state.params)
+        upd_d, new_opt_d = opt_d.update(grads_d, state.opt_d, pd)
+        pd = optax.apply_updates(pd, upd_d)
+        params = dict(pd)
+        params["G"] = state.params["G"]
+        return state.replace(params=params, opt_d=new_opt_d,
+                             step=state.step + 1), losses
+
+    return (jax.jit(g_step, static_argnames=("fix_global", "with_visuals")),
+            jax.jit(d_step))
+
+
 def make_eval_step(system: Pix2PixHDSystem):
     """Jitted inference + waveform reconstruction used by the in-training
     eval loop (reference train.py:95-125): returns (sr_audio, sr_spectro)."""

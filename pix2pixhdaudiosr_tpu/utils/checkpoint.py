@@ -1,0 +1,88 @@
+"""Checkpointing with `latest`/per-epoch tags, tolerant partial restore, and
+the iter.txt resume cursor.
+
+Parity: reference models/base_model.py:43-89 (per-net `{tag}_net_X.pth`
+state dicts; loader merges only shape-matching keys on architecture drift),
+reference train.py:30-40, :200-223 (iter.txt epoch/iter cursor, `latest` +
+per-epoch tags, --continue_train / --load_pretrain).
+
+TPU-native: one Orbax checkpoint per tag holding the full TrainState pytree
+(params for every net + BOTH optimizer states + step — the reference loses
+optimizer state on resume; we keep it, and partial restore still allows
+reference-style warm starts across architectures).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def merge_matching(target, saved):
+    """Tolerant merge: take the saved leaf wherever the path exists in both
+    trees and shapes match (reference models/base_model.py:62-89)."""
+
+    def _merge(t, s):
+        if isinstance(t, dict) and isinstance(s, dict):
+            return {k: _merge(t[k], s[k]) if k in s else t[k] for k in t}
+        t_shape = getattr(t, "shape", None)
+        s_shape = getattr(s, "shape", None)
+        if t_shape is not None and s_shape is not None and tuple(t_shape) == tuple(s_shape):
+            dtype = getattr(t, "dtype", None)
+            arr = np.asarray(s)
+            return arr.astype(dtype) if dtype is not None else arr
+        return t
+    return _merge(target, saved)
+
+
+class CheckpointManager:
+    def __init__(self, expr_dir: str):
+        self.expr_dir = os.path.abspath(expr_dir)
+        os.makedirs(self.expr_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self._raw = ocp.PyTreeCheckpointer()
+
+    def _path(self, tag) -> str:
+        return os.path.join(self.expr_dir, f"{tag}_state")
+
+    # ------------------------------------------------------------------
+    def save(self, state: Any, tag: str = "latest") -> str:
+        path = self._path(tag)
+        state = jax.device_get(state)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore(self, tag: str = "latest", target: Optional[Any] = None,
+                expr_dir: Optional[str] = None) -> Any:
+        """Full restore when `target` matches; otherwise tolerant merge of
+        every shape-matching leaf into `target`."""
+        base = os.path.abspath(expr_dir) if expr_dir else self.expr_dir
+        path = os.path.join(base, f"{tag}_state")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        saved = self._raw.restore(path)
+        if target is None:
+            return saved
+        return jax.tree.map(lambda t: t, merge_matching(target, saved))
+
+    def has(self, tag: str = "latest", expr_dir: Optional[str] = None) -> bool:
+        base = os.path.abspath(expr_dir) if expr_dir else self.expr_dir
+        return os.path.exists(os.path.join(base, f"{tag}_state"))
+
+    # ------------------------------------------------------------------
+    def save_iter(self, epoch: int, epoch_iter: int) -> None:
+        with open(os.path.join(self.expr_dir, "iter.txt"), "w") as f:
+            f.write(f"{epoch},{epoch_iter}\n")
+
+    def load_iter(self) -> Tuple[int, int]:
+        try:
+            with open(os.path.join(self.expr_dir, "iter.txt")) as f:
+                a, b = f.read().strip().split(",")
+            return int(a), int(b)
+        except Exception:
+            return 1, 0

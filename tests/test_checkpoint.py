@@ -1,0 +1,70 @@
+"""Checkpointing: full save/restore roundtrip, tolerant partial restore on
+architecture drift (reference models/base_model.py:62-89), iter.txt cursor."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pix2pixhdaudiosr_tpu.config import Config
+from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+from pix2pixhdaudiosr_tpu.trainer import init_state
+from pix2pixhdaudiosr_tpu.utils import CheckpointManager
+from pix2pixhdaudiosr_tpu.utils.checkpoint import merge_matching
+
+CFG = Config(net_g="global", ngf=4, n_downsample_global=2, n_blocks_global=1,
+             ndf=4, n_layers_d=2, num_d=2, input_nc=2, output_nc=2,
+             label_nc=0, explicit_encoding=True, mask_mode="mode2",
+             compute_dtype="float32")
+
+
+def test_save_restore_roundtrip(tmp_path):
+    system = Pix2PixHDSystem(CFG)
+    state, *_ = init_state(system, jax.random.PRNGKey(0))
+    cm = CheckpointManager(str(tmp_path / "expr"))
+    cm.save(state, "latest")
+    assert cm.has("latest")
+    restored = cm.restore("latest", target=jax.device_get(state))
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+
+
+def test_partial_restore_on_arch_drift(tmp_path):
+    """Bigger model warm-started from a smaller checkpoint keeps only
+    shape-matching leaves — the reference's tolerant loader."""
+    small = Pix2PixHDSystem(CFG)
+    s_state, *_ = init_state(small, jax.random.PRNGKey(0))
+    cm = CheckpointManager(str(tmp_path / "expr"))
+    cm.save(s_state, "latest")
+
+    big = Pix2PixHDSystem(CFG.replace(n_blocks_global=2))
+    b_state, *_ = init_state(big, jax.random.PRNGKey(1))
+    merged = cm.restore("latest", target=jax.device_get(b_state))
+    # first conv matches shapes -> taken from the checkpoint
+    sp = s_state.params["G"]["params"]
+    bp = merged.params["G"]["params"]
+    k0 = sorted(sp.keys())[0]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(sp[k0])[0]),
+        np.asarray(jax.tree.leaves(bp[k0])[0]))
+    # modules absent from the checkpoint keep the fresh init (the extra
+    # resblock lives inside the trunk submodule)
+    trunk = [k for k in bp if "Trunk" in k][0]
+    extra = set(bp[trunk].keys()) - set(sp[trunk].keys())
+    assert extra  # the added resblock exists and did not crash the restore
+
+
+def test_merge_matching_shape_mismatch():
+    target = {"a": np.zeros((2, 3)), "b": np.zeros(4)}
+    saved = {"a": np.ones((2, 3)), "b": np.ones(5)}
+    out = merge_matching(target, saved)
+    np.testing.assert_array_equal(out["a"], 1)   # shape match -> taken
+    np.testing.assert_array_equal(out["b"], 0)   # mismatch -> kept
+
+
+def test_iter_cursor(tmp_path):
+    cm = CheckpointManager(str(tmp_path / "e"))
+    assert cm.load_iter() == (1, 0)
+    cm.save_iter(7, 123)
+    assert cm.load_iter() == (7, 123)
