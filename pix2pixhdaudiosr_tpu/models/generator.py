@@ -26,18 +26,22 @@ class GlobalTrunk(nn.Module):
     n_downsampling: int = 4
     n_blocks: int = 9
     dtype: jnp.dtype = jnp.float32
+    cp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        x = ConvIN(self.ngf, 7, reflect=3, dtype=self.dtype)(x)
+        cp = self.cp_axis
+        x = ConvIN(self.ngf, 7, reflect=3, dtype=self.dtype, cp_axis=cp)(x)
         for i in range(self.n_downsampling):
-            x = ConvIN(self.ngf * 2 ** (i + 1), 3, stride=2, pad=1, dtype=self.dtype)(x)
+            x = ConvIN(self.ngf * 2 ** (i + 1), 3, stride=2, pad=1,
+                       dtype=self.dtype, cp_axis=cp)(x)
         mult = 2 ** self.n_downsampling
         for _ in range(self.n_blocks):
-            x = ResnetBlock(self.ngf * mult, dtype=self.dtype)(x)
+            x = ResnetBlock(self.ngf * mult, dtype=self.dtype, cp_axis=cp)(x)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
-            x = ConvTransposeIN(self.ngf * mult // 2, dtype=self.dtype)(x)
+            x = ConvTransposeIN(self.ngf * mult // 2, dtype=self.dtype,
+                                cp_axis=cp)(x)
         return x
 
 
@@ -50,13 +54,15 @@ class GlobalGenerator(nn.Module):
     n_downsampling: int = 4
     n_blocks: int = 9
     dtype: jnp.dtype = jnp.float32
+    cp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         x = GlobalTrunk(self.input_nc, self.ngf, self.n_downsampling,
-                        self.n_blocks, dtype=self.dtype)(x)
+                        self.n_blocks, dtype=self.dtype,
+                        cp_axis=self.cp_axis)(x)
         return ConvIN(self.output_nc, 7, reflect=3, norm=False, act="tanh",
-                      dtype=self.dtype)(x)
+                      dtype=self.dtype, cp_axis=self.cp_axis)(x)
 
 
 class LocalEnhancer(nn.Module):
@@ -71,34 +77,38 @@ class LocalEnhancer(nn.Module):
     n_local_enhancers: int = 1
     n_blocks_local: int = 3
     dtype: jnp.dtype = jnp.float32
+    cp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        cp = self.cp_axis
         nle = self.n_local_enhancers
         pyramid = [x]
         for _ in range(nle):
-            pyramid.append(avg_pool_3s2(pyramid[-1]))
+            pyramid.append(avg_pool_3s2(pyramid[-1], cp_axis=cp))
 
         ngf_global = self.ngf * (2 ** nle)
         out = GlobalTrunk(self.input_nc, ngf_global, self.n_downsample_global,
-                          self.n_blocks_global, dtype=self.dtype,
+                          self.n_blocks_global, dtype=self.dtype, cp_axis=cp,
                           name="global")(pyramid[-1])
 
         for n in range(1, nle + 1):
             ngf_n = self.ngf * (2 ** (nle - n))
             inp = pyramid[nle - n]
-            down = ConvIN(ngf_n, 7, reflect=3, dtype=self.dtype,
+            down = ConvIN(ngf_n, 7, reflect=3, dtype=self.dtype, cp_axis=cp,
                           name=f"enh{n}_down0")(inp)
             down = ConvIN(ngf_n * 2, 3, stride=2, pad=1, dtype=self.dtype,
-                          name=f"enh{n}_down1")(down)
+                          cp_axis=cp, name=f"enh{n}_down1")(down)
             h = down + out
             for i in range(self.n_blocks_local):
-                h = ResnetBlock(ngf_n * 2, dtype=self.dtype,
+                h = ResnetBlock(ngf_n * 2, dtype=self.dtype, cp_axis=cp,
                                 name=f"enh{n}_block{i}")(h)
-            h = ConvTransposeIN(ngf_n, dtype=self.dtype, name=f"enh{n}_up")(h)
+            h = ConvTransposeIN(ngf_n, dtype=self.dtype, cp_axis=cp,
+                                name=f"enh{n}_up")(h)
             if n == nle:
                 h = ConvIN(self.output_nc, 7, reflect=3, norm=False, act="tanh",
-                           dtype=self.dtype, name=f"enh{n}_final")(h)
+                           dtype=self.dtype, cp_axis=cp,
+                           name=f"enh{n}_final")(h)
             out = h
         return out
 
@@ -139,15 +149,15 @@ class Encoder(nn.Module):
 def build_generator(net_g: str, input_nc: int, output_nc: int, ngf: int,
                     n_downsample_global: int, n_blocks_global: int,
                     n_local_enhancers: int, n_blocks_local: int,
-                    dtype=jnp.float32) -> nn.Module:
+                    dtype=jnp.float32, cp_axis=None) -> nn.Module:
     """define_G parity (reference models/networks.py:27-44)."""
     if net_g == "global":
         return GlobalGenerator(input_nc, output_nc, ngf, n_downsample_global,
-                               n_blocks_global, dtype=dtype)
+                               n_blocks_global, dtype=dtype, cp_axis=cp_axis)
     if net_g == "local":
         return LocalEnhancer(input_nc, output_nc, ngf, n_downsample_global,
                              n_blocks_global, n_local_enhancers,
-                             n_blocks_local, dtype=dtype)
+                             n_blocks_local, dtype=dtype, cp_axis=cp_axis)
     if net_g == "encoder":
         return Encoder(input_nc, output_nc, ngf, n_downsample_global, dtype=dtype)
     raise ValueError(f"generator not implemented: {net_g}")

@@ -3,12 +3,20 @@ AvgPool used by the reference pyramids, and the 0.02-normal conv init
 (reference models/networks.py:10-16, :22, :165, :308).
 
 All modules run NHWC (TPU-native layout); the reference is NCHW.
+
+Context parallelism (`cp_axis` set): the W (frame) axis is sharded over a mesh
+axis. Every layer performs its OWN per-layer halo exchange the size of its
+kernel radius via jax.lax.ppermute (textbook conv CP) and reproduces the exact
+global padding semantics at the ends of the axis (reflect for reflect-padded
+convs, zeros for zero-padded/transposed convs), so local blocks stay
+bit-aligned with the unsharded computation at every layer, and InstanceNorm
+moments only need a pmean. See parallel/halo.py.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -24,14 +32,47 @@ def reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
     return jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def cp_pad_w(x: jnp.ndarray, radius: int, axis_name: str,
+             mode: str = "zeros") -> jnp.ndarray:
+    """Pad the W axis (axis 2) of a frame-sharded block by `radius` with the
+    neighbors' edge frames (ppermute over ICI); the global-boundary shards pad
+    with zeros or their own reflection, matching the unsharded model's padding."""
+    if radius == 0:
+        return x
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    right_edge = x[:, :, -radius:, :]
+    left_edge = x[:, :, :radius, :]
+    from_left = jax.lax.ppermute(right_edge, axis_name,
+                                 [(i, i + 1) for i in range(n - 1)])
+    from_right = jax.lax.ppermute(left_edge, axis_name,
+                                  [(i + 1, i) for i in range(n - 1)])
+    if mode == "reflect":
+        # reflect excludes the edge sample itself (torch ReflectionPad2d)
+        refl_left = x[:, :, 1 : radius + 1, :][:, :, ::-1, :]
+        refl_right = x[:, :, -radius - 1 : -1, :][:, :, ::-1, :]
+        from_left = jnp.where(idx == 0, refl_left, from_left)
+        from_right = jnp.where(idx == n - 1, refl_right, from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=2)
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  cp_axis: Optional[str] = None) -> jnp.ndarray:
     """InstanceNorm2d(affine=False) (reference models/networks.py:22): per
     (sample, channel) statistics over H, W. Stats in f32 regardless of the
-    compute dtype (bf16-safe)."""
+    compute dtype (bf16-safe). Under frame-axis context parallelism the
+    moments are pmean'd across equal-sized shards (exact, since per-layer halo
+    exchange keeps each shard's block identical to its slice of the unsharded
+    activation)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    if cp_axis is not None:
+        mean = jax.lax.pmean(mean, cp_axis)
+    centered = x32 - mean
+    var = jnp.mean(centered * centered, axis=(1, 2), keepdims=True)
+    if cp_axis is not None:
+        var = jax.lax.pmean(var, cp_axis)
+    return (centered * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=32)
@@ -48,22 +89,55 @@ def _avgpool_counts(h: int, w: int) -> np.ndarray:
     return counts
 
 
-def avg_pool_3s2(x: jnp.ndarray) -> jnp.ndarray:
-    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) on NHWC.
-
-    Implemented as nine shifted strided slices summed (not lax.reduce_window,
-    whose add-monoid lacks a linearization rule when nested inside an outer
-    vjp trace on jax 0.9; slices+adds are fully differentiable and fuse)."""
-    h, w = x.shape[1], x.shape[2]
-    oh, ow = (h - 1) // 2 + 1, (w - 1) // 2 + 1
-    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+def _pool9(padded: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """Sum of nine shifted strided slices (not lax.reduce_window, whose
+    add-monoid lacks a linearization rule when nested inside an outer vjp
+    trace on jax 0.9; slices+adds are fully differentiable and fuse)."""
     summed = None
     for di in range(3):
         for dj in range(3):
             part = padded[:, di : di + 2 * oh - 1 : 2, dj : dj + 2 * ow - 1 : 2, :]
             summed = part if summed is None else summed + part
-    counts = jnp.asarray(_avgpool_counts(h, w), x.dtype)
-    return summed / counts[None, :, :, None]
+    return summed
+
+
+def avg_pool_3s2(x: jnp.ndarray, cp_axis: Optional[str] = None) -> jnp.ndarray:
+    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) on NHWC.
+    In CP mode the W axis pads by neighbor exchange and the count matrix marks
+    only the true global boundary columns as partial windows."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    if cp_axis is None:
+        padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        counts = jnp.asarray(_avgpool_counts(h, w), x.dtype)
+        return _pool9(padded, oh, ow) / counts[None, :, :, None]
+    padded = cp_pad_w(x, 1, cp_axis, mode="zeros")
+    padded = jnp.pad(padded, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    summed = _pool9(padded, oh, ow)
+    n = jax.lax.axis_size(cp_axis)
+    idx = jax.lax.axis_index(cp_axis)
+    ph = np.pad(np.ones(h, np.float32), 1)
+    hcnt = np.array([ph[2 * i : 2 * i + 3].sum() for i in range(oh)], np.float32)
+    # column counts: every local window is full except where it reads the
+    # GLOBAL zero padding — the first window of shard 0 (left pad) and the
+    # last window of shard n-1 when it reads past the last real frame
+    pw_edge = np.pad(np.ones(w, np.float32), 1)
+    pw_mid = np.ones(w + 2, np.float32)  # halo frames are real mid-mesh
+    def wrow(left_is_pad, right_is_pad):
+        p = pw_mid.copy()
+        if left_is_pad:
+            p[0] = 0.0
+        if right_is_pad:
+            p[-1] = 0.0
+        return np.array([p[2 * j : 2 * j + 3].sum() for j in range(ow)], np.float32)
+    wcnt_mid = jnp.asarray(wrow(False, False))
+    wcnt_l = jnp.asarray(wrow(True, False))
+    wcnt_r = jnp.asarray(wrow(False, True))
+    wcnt_lr = jnp.asarray(wrow(True, True))
+    wcnt = jnp.where(idx == 0, jnp.where(n == 1, wcnt_lr, wcnt_l),
+                     jnp.where(idx == n - 1, wcnt_r, wcnt_mid))
+    counts = jnp.asarray(hcnt)[None, :, None, None] * wcnt[None, None, :, None]
+    return summed / counts.astype(x.dtype)
 
 
 class ConvIN(nn.Module):
@@ -76,18 +150,29 @@ class ConvIN(nn.Module):
     norm: bool = True
     act: str = "relu"         # relu | leaky | tanh | none
     dtype: jnp.dtype = jnp.float32
+    cp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        cp = self.cp_axis
         if self.reflect:
-            x = reflect_pad(x, self.reflect)
+            if cp is None:
+                x = reflect_pad(x, self.reflect)
+            else:
+                x = jnp.pad(x, [(0, 0), (self.reflect,) * 2, (0, 0), (0, 0)],
+                            mode="reflect")
+                x = cp_pad_w(x, self.reflect, cp, mode="reflect")
+        w_pad = (self.pad, self.pad)
+        if cp is not None and self.pad:
+            x = cp_pad_w(x, self.pad, cp, mode="zeros")
+            w_pad = (0, 0)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
-                    padding=[(self.pad, self.pad)] * 2,
+                    padding=[(self.pad, self.pad), w_pad],
                     kernel_init=conv_init, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         if self.norm:
-            x = instance_norm(x)
+            x = instance_norm(x, cp_axis=cp)
         if self.act == "relu":
             x = nn.relu(x)
         elif self.act == "leaky":
@@ -100,16 +185,24 @@ class ConvIN(nn.Module):
 class ConvTransposeIN(nn.Module):
     """ConvTranspose2d(3, stride 2, padding 1, output_padding 1) analog:
     exact 2x upsampling -> InstanceNorm -> ReLU
-    (reference models/networks.py:155, :205)."""
+    (reference models/networks.py:155, :205). CP: exchange one input frame per
+    side, upsample locally, crop two output frames per side (a zero halo frame
+    contributes exactly like the global SAME zero padding)."""
     features: int
     dtype: jnp.dtype = jnp.float32
+    cp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
+        cp = self.cp_axis
+        if cp is not None:
+            x = cp_pad_w(x, 1, cp, mode="zeros")
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
                              padding="SAME", kernel_init=conv_init,
                              dtype=self.dtype, param_dtype=jnp.float32)(x)
-        return nn.relu(instance_norm(x))
+        if cp is not None:
+            x = x[:, :, 2:-2, :]
+        return nn.relu(instance_norm(x, cp_axis=cp))
 
 
 class ResnetBlock(nn.Module):
@@ -117,9 +210,12 @@ class ResnetBlock(nn.Module):
     (reference models/networks.py:214-253)."""
     dim: int
     dtype: jnp.dtype = jnp.float32
+    cp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        h = ConvIN(self.dim, 3, reflect=1, act="relu", dtype=self.dtype)(x)
-        h = ConvIN(self.dim, 3, reflect=1, act="none", dtype=self.dtype)(h)
+        h = ConvIN(self.dim, 3, reflect=1, act="relu", dtype=self.dtype,
+                   cp_axis=self.cp_axis)(x)
+        h = ConvIN(self.dim, 3, reflect=1, act="none", dtype=self.dtype,
+                   cp_axis=self.cp_axis)(h)
         return x + h

@@ -1,0 +1,71 @@
+"""Frame-axis context parallelism: per-layer halo exchange makes the sharded
+generator numerically match the unsharded one (vs the reference's
+seam-artifact chunked inference, data/audio_dataset.py:124-135)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from pix2pixhdaudiosr_tpu.config import Config
+from pix2pixhdaudiosr_tpu.parallel import make_mesh
+from pix2pixhdaudiosr_tpu.parallel.halo import (generator_receptive_halo,
+                                                halo_exchange,
+                                                make_cp_generator)
+from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+
+
+def test_halo_exchange_exact(rng_np):
+    mesh = make_mesh((4,), ("cp",), devices=jax.devices()[:4])
+    x = rng_np.standard_normal((1, 3, 64, 2)).astype(np.float32)
+    halo = 4
+
+    def local(x_local):
+        return halo_exchange(x_local, halo, "cp", spatial_axis=2)
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(None, None, "cp", None),
+                       out_specs=P(None, None, "cp", None))
+    out = np.asarray(fn(jnp.asarray(x)))
+    assert out.shape == (1, 3, 96, 2)
+    shard = 16
+    for d in range(4):
+        block = out[:, :, d * 24 : (d + 1) * 24]
+        if d > 0:
+            np.testing.assert_array_equal(block[:, :, :halo],
+                                          x[:, :, d * shard - halo : d * shard])
+        else:
+            np.testing.assert_array_equal(block[:, :, :halo], 0)
+        np.testing.assert_array_equal(block[:, :, halo : halo + shard],
+                                      x[:, :, d * shard : (d + 1) * shard])
+        if d < 3:
+            np.testing.assert_array_equal(
+                block[:, :, halo + shard :],
+                x[:, :, (d + 1) * shard : (d + 1) * shard + halo])
+        else:
+            np.testing.assert_array_equal(block[:, :, halo + shard :], 0)
+
+
+def test_receptive_halo_alignment():
+    h = generator_receptive_halo(4, 3)
+    assert h % 16 == 0 and h > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("netg", ["global", "local"])
+def test_cp_generator_exact(rng_np, netg):
+    """CP output == single-device output to f32 roundoff, every device count,
+    including the global boundaries (per-layer halo + pmean InstanceNorm)."""
+    cfg = Config(net_g=netg, ngf=4, n_downsample_global=2, n_blocks_global=1,
+                 n_local_enhancers=1, n_blocks_local=1, input_nc=2,
+                 output_nc=2, label_nc=0, explicit_encoding=True,
+                 compute_dtype="float32")
+    system = Pix2PixHDSystem(cfg)
+    spec = jnp.asarray(rng_np.standard_normal((1, 64, 512, 2)).astype(np.float32))
+    params = system.netG.init(jax.random.PRNGKey(0), spec)
+    want = np.asarray(system.netG.apply(params, spec))
+    for ndev in (2, 4, 8):
+        mesh = make_mesh((ndev,), ("cp",), devices=jax.devices()[:ndev])
+        got = np.asarray(make_cp_generator(system, mesh, axis="cp")(params, spec))
+        np.testing.assert_allclose(got, want, atol=5e-6,
+                                   err_msg=f"ndev={ndev}")
