@@ -61,10 +61,12 @@ class MDCT2(_LappedBase):
     models/pix2pixHD_model.py:142-148)."""
 
     def __init__(self, n_fft=2048, hop_length=None, win_length=None, window=None,
-                 center=True, pad_mode="constant", dct_op=None):
+                 center=True, pad_mode="constant", dct_op=None,
+                 backend: str = "xla"):
         super().__init__(n_fft, hop_length, win_length, window, center, pad_mode)
         # Fused: (window * zero-pad-to-n_fft * DCT_2N) as one (win, n_fft) basis.
         basis = dct_ops.dct2_basis(self.n_fft)[: self.win_length, :] / self.n_fft
+        self.backend = backend
         if dct_op is not None:  # custom op path keeps reference pluggability
             self._custom_dct = dct_op
             self._basis = None
@@ -74,6 +76,13 @@ class MDCT2(_LappedBase):
 
     def __call__(self, signal: jnp.ndarray, return_ola: bool = False):
         x = framing.pad_signal(signal, self.hop_length, self.center, self.pad_mode)
+        if (self.backend == "pallas" and self._basis is not None
+                and signal.ndim == 2 and not return_ola):
+            from .dct_pallas import fused_mdct2
+            T = x.shape[-1] // self.hop_length - self.win_length // self.hop_length + 1
+            return fused_mdct2(x, jnp.asarray(self._basis, jnp.float32),
+                               hop=self.hop_length, win=self.win_length,
+                               t_tile=T)
         frames = framing.frame(x, self.win_length, self.hop_length)
         if self._custom_dct is not None:
             wframes = frames * jnp.asarray(self.window, frames.dtype)
@@ -91,9 +100,11 @@ class IMDCT2(_LappedBase):
     -> window -> overlap-add -> center-crop -> out_length trim."""
 
     def __init__(self, n_fft=2048, hop_length=None, win_length=None, window=None,
-                 center=True, pad_mode="constant", out_length=None, idct_op=None):
+                 center=True, pad_mode="constant", out_length=None, idct_op=None,
+                 backend: str = "xla"):
         super().__init__(n_fft, hop_length, win_length, window, center, pad_mode)
         self.out_length = out_length
+        self.backend = backend
         if idct_op is not None:
             self._custom_idct = idct_op
             self._basis = None
@@ -105,6 +116,16 @@ class IMDCT2(_LappedBase):
 
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
         assert spec.shape[-1] == self.n_fft, (spec.shape, self.n_fft)
+        if (self.backend == "pallas" and self._basis is not None
+                and spec.ndim == 3):
+            from .dct_pallas import fused_imdct2
+            out = fused_imdct2(spec, jnp.asarray(self._basis, jnp.float32),
+                               hop=self.hop_length, win=self.win_length)
+            if self.center:
+                out = framing.center_crop(out, self.win_length)
+            if self.out_length is not None:
+                out = out[..., : self.out_length]
+            return out
         if self._custom_idct is not None:
             y = self._custom_idct(spec) / 2.0
             y = y[..., : self.win_length] * jnp.asarray(self.window, y.dtype)
