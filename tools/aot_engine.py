@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""AOT compile + per-op profiling of the inference graph.
+
+TPU-native equivalent of the reference's TensorRT engine runner (reference
+deprecated/run_engine.py, with its per-layer `Profiler` at :34-60, and the
+ONNX/TRT export flags in reference options/test_options.py:14-16): on TPU the
+deployment artifact is an XLA AOT executable. This tool lowers the flagship
+inference function, serializes the compiled executable (jax AOT / jax.export
+when available), and reports cost analysis (FLOPs, bytes) plus wall-clock —
+the per-layer-profile analog.
+
+Usage: python tools/aot_engine.py [--batch 4] [--out engine.bin]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--out", type=str, default="")
+    args = p.parse_args(argv)
+
+    from __graft_entry__ import _flagship_cfg
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+
+    cfg = _flagship_cfg()
+    system = Pix2PixHDSystem(cfg)
+    params = jax.jit(lambda k: system.netG.init(
+        k, jnp.zeros(system.spectro_shape(1), jnp.float32)))(jax.random.PRNGKey(0))
+
+    def fwd(p, audio, rng):
+        return system.inference(p, audio, rng)[0]
+
+    audio = jnp.zeros((args.batch, cfg.segment_length), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(fwd).lower(params, audio, rng)
+    compiled = lowered.compile()
+    print(f"compile: {time.perf_counter() - t0:.1f}s")
+
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        print("cost analysis:", {k: v for k, v in ca.items()
+                                 if k in ("flops", "bytes accessed",
+                                          "transcendentals")})
+    except Exception as e:
+        print("cost analysis unavailable:", e)
+    try:
+        mem = compiled.memory_analysis()
+        print("memory analysis:", mem)
+    except Exception:
+        pass
+
+    out = compiled(params, audio, rng)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = compiled(params, audio, rng)
+    _ = np.asarray(out[:1, :1, :1])
+    print(f"exec: {(time.perf_counter() - t0) / 5 * 1000:.2f} ms/call @ batch {args.batch}")
+
+    if args.out:
+        try:
+            from jax import export as jexport
+            exported = jexport.export(jax.jit(fwd))(params, audio, rng)
+            blob = exported.serialize()
+            with open(args.out, "wb") as f:
+                f.write(blob)
+            print(f"serialized engine -> {args.out} ({len(blob)} bytes)")
+        except Exception as e:
+            print("export unavailable on this backend:", e)
+
+
+if __name__ == "__main__":
+    main()
