@@ -51,6 +51,7 @@ def _mdct_kernel(m: int, hop: int, t_tile: int, n_fft: int, rows: int):
             part = blocks if i == 0 else pltpu.roll(blocks, rows - i, axis=0)
             contrib = jnp.dot(part[:t_tile, :],
                               basis_ref[i * hop : (i + 1) * hop, :],
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
             acc = contrib if acc is None else acc + contrib
         out_ref[0, :, :] = acc
@@ -104,6 +105,7 @@ def _imdct_kernel(m: int, hop: int, T: int, b_tile: int, n_fft: int):
 
     def kernel(spec_ref, basis_ref, out_ref):
         y = jnp.dot(spec_ref[:].reshape(b_tile * T, n_fft), basis_ref[:, :],
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)    # [b*T, win]
         chunks = y.reshape(b_tile, T, m, hop)
         # overlap-add: out block j (of T + m - 1) = sum_i chunks[:, j-i, i]
