@@ -68,3 +68,20 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put every leaf with its batch dim sharded over `axis`."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def device_prefetch(iterator, mesh: Mesh, axis: str = "data", size: int = 2):
+    """Double-buffer host->device transfers: the next batch's device_put is
+    issued while the current step computes (device_put is async). The
+    reference gets the equivalent from pin_memory + DataLoader workers
+    (reference data/custom_dataset_data_loader.py:46-59)."""
+    from collections import deque
+    buf = deque()
+    for item in iterator:
+        dev = shard_batch({"label": item["label"], "image": item["image"]},
+                          mesh, axis)
+        buf.append((item, dev))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

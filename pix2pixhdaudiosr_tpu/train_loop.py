@@ -26,7 +26,7 @@ from .config import Config, parse_config
 from .data import AudioDataset, Loader, discover_files, train_val_split
 from .metrics import compute_metrics
 from .parallel import replicated, shard_batch
-from .parallel.mesh import make_data_mesh
+from .parallel.mesh import device_prefetch, make_data_mesh
 from .system import Pix2PixHDSystem
 from .trainer import (init_state, make_eval_step, make_pool_steps,
                       make_train_step, reset_opt_g, set_learning_rate)
@@ -145,7 +145,7 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
         epoch_start_time = time.time()
         if epoch != start_epoch:
             epoch_iter = epoch_iter % dataset_size
-        for data in train_loader:
+        for data, batch in device_prefetch(train_loader, mesh):
             if end["flag"]:
                 print("exiting and saving the model at epoch %d, iters %d"
                       % (epoch, total_steps))
@@ -159,8 +159,6 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
             epoch_iter += cfg.batch_size
             save_fake = total_steps % cfg.display_freq == display_delta
 
-            batch = shard_batch({"label": data["label"], "image": data["image"]},
-                                mesh)
             rng = jax.random.PRNGKey(cfg.seed * 1000003 + total_steps)
             if use_pool:
                 state, losses, aux = g_step(state, batch, rng,
