@@ -41,18 +41,29 @@ def _resample(x: np.ndarray, orig: int, new: int) -> np.ndarray:
 
 
 class AudioDataset:
-    """Training dataset of (hr, lr) waveform segment pairs."""
+    """Training dataset of (hr, lr) waveform segment pairs.
+
+    Optional `cache_dir`: the decode+triple-resample per item is the CPU hot
+    spot the reference mitigates with 16 worker processes (SURVEY.md §7 risk
+    "input pipeline throughput"); with a cache dir each file's full-length
+    (hr, lr) pair is resampled once and memory-mapped thereafter — segment
+    sampling stays random per epoch."""
 
     def __init__(self, dataroot: str, lr_sampling_rate: int,
                  hr_sampling_rate: int, segment_length: int, seed: int = 1234,
                  max_dataset_size: Optional[int] = None,
-                 files: Optional[List[str]] = None):
+                 files: Optional[List[str]] = None,
+                 cache_dir: Optional[str] = None):
         self.files = files if files is not None else \
             discover_files(dataroot, max_dataset_size)
         self.lr_rate = lr_sampling_rate
         self.hr_rate = hr_sampling_rate
         self.segment_length = segment_length
         self.rng = np.random.default_rng(seed)
+        self.cache_dir = cache_dir
+        if cache_dir:
+            import os
+            os.makedirs(cache_dir, exist_ok=True)
 
     def __len__(self) -> int:
         return len(self.files)
@@ -70,20 +81,49 @@ class AudioDataset:
             return x[: self.segment_length]
         return np.pad(x, (0, self.segment_length - len(x)))
 
+    def _cache_path(self, path: str) -> str:
+        import hashlib
+        import os
+        h = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+        return os.path.join(self.cache_dir,
+                            f"{h}_{self.lr_rate}_{self.hr_rate}.npz")
+
+    def _cached_pair(self, path: str):
+        """Full-file (hr, lr) pair via the on-disk cache; random segment cut."""
+        import os
+        cpath = self._cache_path(path)
+        if not os.path.exists(cpath):
+            wav, rate = read_wav(path)
+            wav = wav[0]
+            hr = _resample(wav, rate, self.hr_rate).astype(np.float32)
+            lr = _resample(_resample(wav, rate, self.lr_rate),
+                           self.lr_rate, self.hr_rate).astype(np.float32)
+            np.savez(cpath, hr=hr, lr=lr[: len(hr)])
+        z = np.load(cpath, mmap_mode="r")
+        hr, lr = z["hr"], z["lr"]
+        max_start = len(hr) - self.segment_length
+        off = int(self.rng.integers(0, max_start)) if max_start > 0 else 0
+        return (np.asarray(hr[off : off + self.segment_length]),
+                np.asarray(lr[off : off + self.segment_length]))
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         # retry-next-file forever on decode failure (reference
         # data/audio_dataset.py:43-54)
         path = self.files[idx]
         for i in range(len(self.files)):
             try:
-                wav, rate = self._read_segment(path)
+                if self.cache_dir:
+                    hr, lr = self._cached_pair(path)
+                else:
+                    wav, rate = self._read_segment(path)
+                    hr = _resample(wav, rate, self.hr_rate)
+                    lr = _resample(_resample(wav, rate, self.lr_rate),
+                                   self.lr_rate, self.hr_rate)
                 break
             except Exception:
                 path = self.files[(idx + i + 1) % len(self.files)]
         else:
             raise RuntimeError("no decodable audio file found")
-        hr = _resample(wav, rate, self.hr_rate)
-        lr = _resample(_resample(wav, rate, self.lr_rate), self.lr_rate, self.hr_rate)
         return {"image": self._seg_pad(hr).astype(np.float32),
                 "label": self._seg_pad(lr).astype(np.float32),
                 "inst": np.int32(0), "feat": np.float32(0), "path": path}

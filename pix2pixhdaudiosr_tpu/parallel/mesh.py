@@ -22,6 +22,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None) -> int:
+    """Multi-host bring-up: call before make_mesh on every host; the same
+    pjit code then spans hosts (ICI within pod, DCN across). Reads standard
+    env (JAX_COORDINATOR_ADDRESS etc.) when args are None. Returns the
+    process index. Single-host no-op if no coordinator is configured."""
+    import os
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None:
+        return 0
+    jax.distributed.initialize(coordinator_address=addr,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
+def host_local_batch(global_batch, mesh: Mesh, axis: str = "data"):
+    """Assemble a globally-sharded array from per-host data
+    (jax.make_array_from_process_local_data), the multi-host feed path
+    (SURVEY.md §5 distributed-communication plan)."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        global_batch)
+
+
 def make_mesh(mesh_shape: Tuple[int, ...] = (-1,),
               axes: Tuple[str, ...] = ("data",),
               devices=None) -> Mesh:

@@ -106,3 +106,18 @@ def test_loader_order_and_shapes(wav_dir):
     # deterministic epoch shuffles differ
     b2 = list(ld)
     assert len(b2) == 3
+
+
+def test_audio_dataset_cache(wav_dir, tmp_path):
+    cache = str(tmp_path / "cache")
+    ds = AudioDataset(wav_dir, 8000, 48000, 32512, cache_dir=cache)
+    item1 = ds[0]
+    assert item1["image"].shape == (32512,)
+    import os
+    assert len(os.listdir(cache)) == 1          # pair cached once
+    item2 = ds[0]                               # second read hits the cache
+    assert item2["image"].shape == (32512,)
+    # cached pairs match the direct path statistically (same content source)
+    ds_direct = AudioDataset(wav_dir, 8000, 48000, 32512)
+    d = ds_direct[0]
+    assert abs(float(np.std(d["image"])) - float(np.std(item1["image"]))) < 0.1
