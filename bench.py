@@ -31,8 +31,15 @@ def main():
     system = Pix2PixHDSystem(cfg)
     batch = 64  # the reference's production batch size (train_script.sh)
 
-    params_g = jax.jit(lambda k: system.netG.init(
-        k, jnp.zeros(system.spectro_shape(1), jnp.float32)))(jax.random.PRNGKey(0))
+    # Build params host-side from the abstract shapes (values are irrelevant
+    # for throughput; a jitted init of the 156M-param model costs ~4 min of
+    # remote compile on this backend).
+    shapes = jax.eval_shape(system.netG.init, jax.random.PRNGKey(0),
+                            jnp.zeros(system.spectro_shape(1), jnp.float32))
+    rng_np = np.random.default_rng(0)
+    params_g = jax.tree.map(
+        lambda s: jax.device_put(
+            (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
 
     @jax.jit
     def fwd(params, lr_audio, rng):
