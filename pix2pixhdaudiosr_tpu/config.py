@@ -233,12 +233,12 @@ def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
             if target == f.name:
                 names.append("--" + alias)
         if f.type in ("bool", bool):
-            if default:
-                p.add_argument(*(n.replace("--", "--no_", 1) for n in names),
-                               dest=f.name, action="store_false", default=True)
-            else:
-                p.add_argument(*names, dest=f.name, action="store_true",
-                               default=False)
+            # accept both --flag and --no_flag for every boolean, so the
+            # reference recipes' --no_instance / --center style always works
+            p.add_argument(*names, dest=f.name, action="store_true",
+                           default=default)
+            p.add_argument(*("--no_" + n[2:] for n in names), dest=f.name,
+                           action="store_false", default=default)
         elif f.name in ("mesh_shape", "mesh_axes"):
             p.add_argument(*names, dest=f.name, type=str, default=None)
         else:
