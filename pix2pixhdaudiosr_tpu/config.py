@@ -150,6 +150,7 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     frames_per_segment: int = BINS
+    zero_opt_state: bool = False     # ZeRO-1 moment sharding (parallel/zero.py)
 
     # ------------------------------------------------------------------
     @property

@@ -83,6 +83,9 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
 
     mesh = make_data_mesh(cfg.batch_size, cfg.mesh_shape, cfg.mesh_axes)
     state = jax.device_put(state, replicated(mesh))
+    if cfg.zero_opt_state:
+        from .parallel.zero import apply_zero
+        state = apply_zero(state, mesh)
 
     use_pool = cfg.pool_size > 0
     pool = ImagePool(cfg.pool_size, cfg.seed)
