@@ -43,6 +43,13 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
     state = ckpt.restore(cfg.which_epoch, target=jax.device_get(state),
                          expr_dir=src)
     params_g = state.params["G"]
+    if cfg.data_type == 8:
+        # int8 weight-only quantized inference (--data_type 8; the reference
+        # parses this flag but never implements it — ops/quant.py)
+        from .ops.quant import dequantize_params, quantize_params
+        qtree, scales = quantize_params(params_g)
+        params_g = dequantize_params(qtree, scales, jnp.float32)
+        print("int8 weight quantization enabled")
 
     @jax.jit
     def infer(pg, lr_audio, rng):
