@@ -106,10 +106,33 @@ def bench_inference(quick: bool):
           f"({RESULTS['inference_frames_per_sec']} frames/s)")
 
 
+def bench_loader(quick: bool):
+    """Host input-pipeline throughput: native C++ pipeline vs numpy fallback
+    (the reference's analog is torchaudio + 16 worker processes)."""
+    import tempfile
+    import numpy as _np
+    from pix2pixhdaudiosr_tpu.data import AudioDataset, Loader, write_wav
+    from pix2pixhdaudiosr_tpu.runtime import native_audio
+    with tempfile.TemporaryDirectory() as d:
+        rng = _np.random.default_rng(0)
+        for i in range(16):
+            x = (rng.standard_normal(48000) * 0.3).astype(_np.float32)
+            write_wav(os.path.join(d, f"w{i}.wav"), x, 48000)
+        ds = AudioDataset(d, 8000, 48000, 32512)
+        ld = Loader(ds, list(range(16)) * 8, batch_size=16, n_threads=8)
+        t0 = time.perf_counter()
+        n = sum(b["image"].shape[0] for b in ld)
+        dt = time.perf_counter() - t0
+        RESULTS["loader_items_per_sec"] = round(n / dt, 1)
+        RESULTS["loader_native"] = bool(native_audio.available())
+        print(f"loader: {n / dt:.1f} items/s (native={native_audio.available()})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     args = p.parse_args(argv)
+    bench_loader(args.quick)
     bench_mdct(args.quick)
     bench_lee(args.quick)
     bench_inference(args.quick)

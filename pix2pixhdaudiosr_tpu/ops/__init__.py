@@ -1,1 +1,3 @@
-from . import window, dct, framing, mdct, audio, encoding  # noqa: F401
+from . import (audio, dct, dctlib, encoding, framing, legacy, mdct,  # noqa: F401
+               quant, window)
+
