@@ -62,8 +62,11 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
     train_loader = Loader(dataset, train_idx, cfg.batch_size,
                           shuffle=not cfg.serial_batches, seed=cfg.seed,
                           n_threads=cfg.n_threads)
+    # torch DataLoader keeps partial batches (drop_last=False); without this a
+    # validation split smaller than one batch would silently disable eval
     eval_loader = Loader(dataset, val_idx, cfg.batch_size, shuffle=False,
-                         seed=cfg.seed, n_threads=cfg.n_threads) \
+                         seed=cfg.seed, n_threads=cfg.n_threads,
+                         drop_last=False) \
         if val_idx else None
     dataset_size = len(train_loader) * cfg.batch_size
     print("#training data = %d" % dataset_size)
