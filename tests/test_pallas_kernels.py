@@ -18,6 +18,7 @@ SEG = 32512
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     # run pallas kernels in interpreter mode on CPU
+    import pix2pixhdaudiosr_tpu.ops.conv_pallas as C
     import pix2pixhdaudiosr_tpu.ops.dct_pallas as K
     orig = pl.pallas_call
 
@@ -26,6 +27,7 @@ def _interpret_mode(monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(K.pl, "pallas_call", interp_call)
+    monkeypatch.setattr(C.pl, "pallas_call", interp_call)
     yield
 
 
@@ -70,3 +72,14 @@ def test_fused_roundtrip(rng_np):
     rec = np.asarray(rec)[:, 256:-256][:, :SEG]
     err = np.mean((rec - np.asarray(x)) ** 2)
     assert err < 1e-10, err
+
+
+def test_conv3x3_pallas_matches_lax(rng_np):
+    from pix2pixhdaudiosr_tpu.ops.conv_pallas import conv3x3_pallas
+    x = jnp.asarray(rng_np.standard_normal((2, 66, 34, 16)).astype(np.float32))
+    w = jnp.asarray((rng_np.standard_normal((3, 3, 16, 16)) * 0.1)
+                    .astype(np.float32))
+    got = conv3x3_pallas(x, w, th=32)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
