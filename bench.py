@@ -29,7 +29,8 @@ def main():
 
     cfg = _flagship_cfg()
     system = Pix2PixHDSystem(cfg)
-    batch = 64  # the reference's production batch size (train_script.sh)
+    batch = 128  # best measured serving batch on v5e (64 amortizes worse;
+    # the reference trains at 64 — see BASELINE.md batch sweep)
 
     # Build params host-side from the abstract shapes (values are irrelevant
     # for throughput; a jitted init of the 156M-param model costs ~4 min of
