@@ -72,11 +72,13 @@ def reset_opt_g(state: TrainState, opt_g: optax.GradientTransformation,
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Linear decay host hook (reference models/pix2pixHD_model.py:530-539)."""
-    lr = jnp.asarray(lr, jnp.float32)
+    """Linear decay host hook (reference models/pix2pixHD_model.py:530-539).
+    Each optimizer gets its OWN scalar array: sharing one buffer between two
+    leaves of a donated train-step argument trips XLA's
+    "donate the same buffer twice" check."""
     og, od = state.opt_g, state.opt_d
-    og.hyperparams["learning_rate"] = lr
-    od.hyperparams["learning_rate"] = lr
+    og.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    od.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return state.replace(opt_g=og, opt_d=od)
 
 

@@ -130,3 +130,22 @@ def test_lr_update():
     state, *_ = init_state(system, jax.random.PRNGKey(0), batch=1)
     state = set_learning_rate(state, 1e-5)
     assert float(state.opt_g.hyperparams["learning_rate"]) == pytest.approx(1e-5)
+
+
+def test_lr_decay_with_donated_step(tiny_setup):
+    """Regression: set_learning_rate must not alias one scalar buffer into
+    both optimizers' hyperparams — XLA rejects donating the same buffer twice
+    (surfaced after the first LR-decay epoch on hardware)."""
+    system, state, _ = tiny_setup
+    from pix2pixhdaudiosr_tpu.trainer import make_train_step, make_optimizer
+    from pix2pixhdaudiosr_tpu.trainer import init_state as _init
+    s, opt_g, opt_d = _init(system, jax.random.PRNGKey(3), batch=2)
+    donating = make_train_step(system, opt_g, opt_d, donate=True)
+    batch = synth_batch(2, TINY.segment_length, np.random.default_rng(5))
+    s, losses, _ = donating(s, batch, jax.random.PRNGKey(1), None,
+                            fix_global=False, with_visuals=False)
+    s = set_learning_rate(s, 1e-4)
+    s, losses, _ = donating(s, batch, jax.random.PRNGKey(2), None,
+                            fix_global=False, with_visuals=False)
+    assert np.isfinite(float(losses["G_GAN"]))
+    assert float(s.opt_g.hyperparams["learning_rate"]) == pytest.approx(1e-4)
