@@ -40,6 +40,12 @@ class Visualizer:
             os.makedirs(self.img_dir, exist_ok=True)
         self.log_name = os.path.join(expr, "loss_log.txt")
         self.scalar_log = os.path.join(expr, "scalars.jsonl")
+        self.tb = None
+        if cfg.tf_log:
+            # real TensorBoard event files, no TensorFlow needed
+            # (reference util/visualizer.py:20-24 requires tensorflow)
+            from .tb_events import EventWriter
+            self.tb = EventWriter(os.path.join(expr, "logs"))
         self._epochs_with_images = []
         with open(self.log_name, "a") as f:
             f.write("================ Training Loss (%s) ================\n"
@@ -59,6 +65,8 @@ class Visualizer:
     def plot_current_errors(self, errors: Dict[str, float], step: int) -> None:
         with open(self.scalar_log, "a") as f:
             f.write(json.dumps({"step": step, **{k: float(v) for k, v in errors.items()}}) + "\n")
+        if self.tb is not None:
+            self.tb.add_scalars(errors, step)
 
     # ------------------------------------------------------------------
     def render_visuals(self, raw: Dict[str, np.ndarray],
