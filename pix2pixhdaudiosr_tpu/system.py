@@ -61,6 +61,12 @@ class Pix2PixHDSystem:
             if cfg.use_time_d else None
         self.hifigan_D = HiFiGANMultiScaleMultiPeriodDiscriminator(dtype=self.dtype) \
             if cfg.use_hifigan_d else None
+        # instance-feature encoder (reference models/pix2pixHD_model.py:67-70;
+        # effectively deprecated for audio but part of the API surface)
+        self.netE = build_generator(
+            "encoder", cfg.output_nc, cfg.feat_num, cfg.nef,
+            cfg.n_downsample_e, 0, 0, 0, dtype=self.dtype) \
+            if cfg.use_features and not cfg.load_features else None
 
         # loss filter (reference models/pix2pixHD_model.py:19-23, :96)
         self.flags = loss_filter_flags(not cfg.no_gan_feat_loss,
@@ -89,10 +95,16 @@ class Pix2PixHDSystem:
         cfg = self.cfg
         kg, kd, kt, kh = jax.random.split(rng, 4)
         spec = jnp.zeros(self.spectro_shape(batch), jnp.float32)
-        g_in = spec if cfg.no_instance else jnp.concatenate(
+        base = spec if cfg.no_instance else jnp.concatenate(
             [spec, jnp.zeros(spec.shape[:-1] + (1,), jnp.float32)], -1)
+        g_in = base
+        if cfg.use_features:  # encoder feature channels on the G input only
+            # (D sees the raw label spectrogram, reference
+            # models/pix2pixHD_model.py:345-351)
+            g_in = jnp.concatenate(
+                [base, jnp.zeros(spec.shape[:-1] + (cfg.feat_num,), jnp.float32)], -1)
         params = {"G": self.netG.init(kg, g_in)}
-        d_in = jnp.concatenate([g_in, jnp.zeros(self.spectro_shape(batch), jnp.float32)], -1)
+        d_in = jnp.concatenate([base, jnp.zeros(self.spectro_shape(batch), jnp.float32)], -1)
         params["D"] = self.netD.init(kd, d_in)
         if self.time_D is not None:
             frames = jnp.zeros((batch, self.n_frames, cfg.n_fft, 2), jnp.float32)
@@ -100,6 +112,11 @@ class Pix2PixHDSystem:
         if self.hifigan_D is not None:
             wav = jnp.zeros((batch, cfg.segment_length, 1), jnp.float32)
             params["hifigan_D"] = self.hifigan_D.init(kh, wav)
+        if self.netE is not None:
+            ke = jax.random.fold_in(kg, 17)
+            espec = jnp.zeros(self.spectro_shape(batch), jnp.float32)
+            einst = jnp.zeros(espec.shape[:-1] + (1,), jnp.int32)
+            params["E"] = self.netE.init(ke, espec, einst)
         return params
 
     # ------------------------------------------------------------------
@@ -155,12 +172,26 @@ class Pix2PixHDSystem:
         lr_spec = jax.lax.stop_gradient(lr_spec)
         hr_spec = jax.lax.stop_gradient(hr_spec)
 
-        # --- generator forward, captured once
-        def g_fwd(pg):
-            out = self.netG.apply(pg, lr_spec.astype(self.dtype))
-            return out.astype(jnp.float32)
+        # --- generator forward, captured once. With instance features the
+        # encoder output concatenates onto the G input (reference
+        # models/pix2pixHD_model.py:338-347; lr_pha stands in for the
+        # instance map, shifted to non-negative ids for the pooling)
+        if self.netE is not None:
+            def g_fwd(ge):
+                pg, pe = ge
+                ids = (lr_pha[..., None] + 1.0).astype(jnp.int32)
+                feat = self.netE.apply(pe, hr_spec.astype(self.dtype), ids)
+                gin = jnp.concatenate([lr_spec.astype(self.dtype),
+                                       feat.astype(self.dtype)], axis=-1)
+                return self.netG.apply(pg, gin).astype(jnp.float32)
 
-        sr, g_vjp = jax.vjp(g_fwd, params["G"])
+            sr, g_vjp_e = jax.vjp(g_fwd, (params["G"], params["E"]))
+        else:
+            def g_fwd(pg):
+                out = self.netG.apply(pg, lr_spec.astype(self.dtype))
+                return out.astype(jnp.float32)
+
+            sr, g_vjp = jax.vjp(g_fwd, params["G"])
 
         # --- generator-side losses as a function of the G output
         def g_losses(sr_):
@@ -199,11 +230,17 @@ class Pix2PixHDSystem:
             return total, parts
 
         (_, g_parts), sr_bar = jax.value_and_grad(g_losses, has_aux=True)(sr)
-        grads_g = {"G": g_vjp(sr_bar)[0]}
+        if self.netE is not None:
+            gg, ge = g_vjp_e(sr_bar)[0]
+            # the G optimizer also trains E (reference
+            # models/pix2pixHD_model.py:128-131)
+            grads_g = {"G": gg, "E": ge}
+        else:
+            grads_g = {"G": g_vjp(sr_bar)[0]}
 
         # --- discriminator-side losses (G output detached, reference :307)
         sr_d = jax.lax.stop_gradient(sr)
-        d_params = {k: v for k, v in params.items() if k != "G"}
+        d_params = {k: v for k, v in params.items() if k not in ("G", "E")}
 
         def d_losses(pd):
             parts = {}

@@ -45,8 +45,10 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def _split_params(params):
-    g = {"G": params["G"]}
-    d = {k: v for k, v in params.items() if k != "G"}
+    """G-optimizer owns G and the feature encoder E (reference
+    models/pix2pixHD_model.py:128-131); D-optimizer owns every discriminator."""
+    g = {k: params[k] for k in ("G", "E") if k in params}
+    d = {k: v for k, v in params.items() if k not in ("G", "E")}
     return g, d
 
 
@@ -87,6 +89,9 @@ def _mask_fixed_global(grads_g, n_local_enhancers: int):
     (reference models/pix2pixHD_model.py:118-123 keys 'model<n>_*' ->
     our 'enh<n>_*' naming)."""
     def mask(path, leaf):
+        root = path[0].key if path else ""
+        if str(root) == "E":  # netE keeps training during the fix phase
+            return leaf       # (reference models/pix2pixHD_model.py:128-129)
         top = path[2].key if len(path) > 2 else ""  # ('G','params',<module>,...)
         return leaf if str(top).startswith("enh") else jnp.zeros_like(leaf)
     return jax.tree_util.tree_map_with_path(mask, grads_g)
@@ -117,7 +122,7 @@ def make_train_step(system: Pix2PixHDSystem,
         upd_d, new_opt_d = opt_d.update(grads_d, state.opt_d, pd)
         pd = optax.apply_updates(pd, upd_d)
         params = dict(pd)
-        params["G"] = pg["G"]
+        params.update(pg)
         new_state = state.replace(params=params, opt_g=new_opt_g,
                                   opt_d=new_opt_d, step=state.step + 1)
         return new_state, losses, aux
@@ -145,7 +150,7 @@ def make_pool_steps(system: Pix2PixHDSystem,
         upd_g, new_opt_g = opt_g.update(grads_g, state.opt_g, pg)
         pg = optax.apply_updates(pg, upd_g)
         params = dict(state.params)
-        params["G"] = pg["G"]
+        params.update(pg)
         return state.replace(params=params, opt_g=new_opt_g), losses, aux
 
     def d_step(state: TrainState, batch, rng, pooled_fake):
@@ -156,8 +161,8 @@ def make_pool_steps(system: Pix2PixHDSystem,
         _, pd = _split_params(state.params)
         upd_d, new_opt_d = opt_d.update(grads_d, state.opt_d, pd)
         pd = optax.apply_updates(pd, upd_d)
-        params = dict(pd)
-        params["G"] = state.params["G"]
+        params = dict(state.params)
+        params.update(pd)
         return state.replace(params=params, opt_d=new_opt_d,
                              step=state.step + 1), losses
 

@@ -91,3 +91,31 @@ def test_unknown_generator_raises():
     from pix2pixhdaudiosr_tpu.models import build_generator
     with pytest.raises(ValueError):
         build_generator("nope", 2, 2, 8, 2, 1, 1, 1)
+
+
+@pytest.mark.slow
+def test_instance_features_training_path(rng_np):
+    """--instance_feat: netE encodes hr features (lr_pha as instance map),
+    concatenated onto the G input; the G optimizer trains E too (reference
+    models/pix2pixHD_model.py:338-347, :128-131)."""
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+    from pix2pixhdaudiosr_tpu.trainer import init_state, make_train_step
+    cfg = Config(instance_feat=True, feat_num=3, nef=4, n_downsample_e=2,
+                 net_g="global", ngf=4, n_downsample_global=2,
+                 n_blocks_global=1, ndf=4, n_layers_d=2, num_d=2, input_nc=2,
+                 output_nc=2, label_nc=0, explicit_encoding=True,
+                 mask_mode="mode2", compute_dtype="float32")
+    system = Pix2PixHDSystem(cfg)
+    assert system.netE is not None
+    assert cfg.netg_input_nc == 2 + 3
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=2)
+    assert "E" in state.params
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    batch = {"label": (rng_np.standard_normal((2, cfg.segment_length)) * 0.1).astype(np.float32),
+             "image": (rng_np.standard_normal((2, cfg.segment_length)) * 0.1).astype(np.float32)}
+    new_state, losses, _ = step(state, batch, jax.random.PRNGKey(1), None,
+                                fix_global=False, with_visuals=False)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    e0 = jax.tree.leaves(state.params["E"])[0]
+    e1 = jax.tree.leaves(new_state.params["E"])[0]
+    assert not np.allclose(np.asarray(e0), np.asarray(e1))  # E trained by opt_G
