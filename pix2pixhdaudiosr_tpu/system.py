@@ -312,9 +312,33 @@ class Pix2PixHDSystem:
 
     # ------------------------------------------------------------------
     def inference(self, params_g, lr_audio: jnp.ndarray, rng: jax.Array,
-                  inst: Optional[jnp.ndarray] = None):
+                  inst: Optional[jnp.ndarray] = None,
+                  feat_map: Optional[jnp.ndarray] = None):
         """reference models/pix2pixHD_model.py:437-455: returns
-        (sr_spectro, lr_pha, lr_norm_param, lr_spectro)."""
+        (sr_spectro, lr_pha, lr_norm_param, lr_spectro). With instance
+        features, pass a feat_map from sample_features (cluster sampling)."""
         lr_spec, lr_pha, lr_norm, *_ = self.encode_input(lr_audio, None, rng, inst)
-        sr = self.netG.apply(params_g, lr_spec.astype(self.dtype)).astype(jnp.float32)
+        g_in = lr_spec
+        if feat_map is not None:
+            g_in = jnp.concatenate([lr_spec, feat_map], axis=-1)
+        sr = self.netG.apply(params_g, g_in.astype(self.dtype)).astype(jnp.float32)
         return sr, lr_pha, lr_norm, lr_spec
+
+    def sample_features(self, inst: "np.ndarray", cluster_path: str,
+                        rng: Optional["np.random.Generator"] = None):
+        """Host-side style sampling from precomputed k-means clusters
+        (reference models/pix2pixHD_model.py:457-476): for each instance id,
+        pick a random cluster center and broadcast it over the region.
+        inst: [B, H, W] int ids; returns [B, H, W, feat_num] float32."""
+        clusters = np.load(cluster_path, allow_pickle=True).item()
+        rng = rng or np.random.default_rng(self.cfg.seed)
+        b, h, w = inst.shape
+        feat = np.zeros((b, h, w, self.cfg.feat_num), np.float32)
+        for i in np.unique(inst):
+            label = int(i) if i < 1000 else int(i) // 1000
+            if label not in clusters:
+                continue
+            centers = clusters[label]
+            pick = centers[rng.integers(0, centers.shape[0])]
+            feat[inst == i] = pick[: self.cfg.feat_num]
+        return feat

@@ -119,3 +119,26 @@ def test_instance_features_training_path(rng_np):
     e0 = jax.tree.leaves(state.params["E"])[0]
     e1 = jax.tree.leaves(new_state.params["E"])[0]
     assert not np.allclose(np.asarray(e0), np.asarray(e1))  # E trained by opt_G
+
+
+def test_sample_features_from_clusters(tmp_path, rng_np):
+    """Inference-time style sampling from k-means clusters (reference
+    models/pix2pixHD_model.py:457-476)."""
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+    cfg = Config(instance_feat=True, feat_num=3, nef=4,
+                 net_g="global", ngf=4, n_downsample_global=2,
+                 n_blocks_global=1, input_nc=2, output_nc=2, label_nc=0,
+                 explicit_encoding=True, compute_dtype="float32")
+    system = Pix2PixHDSystem(cfg)
+    clusters = {0: rng_np.standard_normal((4, 3)),
+                5: rng_np.standard_normal((2, 3))}
+    p = str(tmp_path / "features_clustered_010.npy")
+    np.save(p, clusters, allow_pickle=True)
+    inst = np.zeros((1, 8, 8), np.int64)
+    inst[0, 4:, 4:] = 5
+    feat = system.sample_features(inst, p)
+    assert feat.shape == (1, 8, 8, 3)
+    # each region is constant (one center broadcast over the region)
+    assert np.allclose(feat[0, :4, :4], feat[0, 0, 0])
+    assert np.allclose(feat[0, 5:, 5:], feat[0, 7, 7])
+    assert not np.allclose(feat[0, 0, 0], feat[0, 7, 7])
