@@ -111,6 +111,17 @@ class UIModel:
                 "inst": None if self.inst_map is None else self.inst_map.copy()}
 
 
+def get_edges(t: np.ndarray) -> np.ndarray:
+    """Instance-boundary map (reference models/pix2pixHD_model.py:500-509):
+    1 where an instance id differs from a 4-neighbour. t: [..., H, W] ints."""
+    edge = np.zeros_like(t, dtype=bool)
+    edge[..., :, 1:] |= t[..., :, 1:] != t[..., :, :-1]
+    edge[..., :, :-1] |= t[..., :, 1:] != t[..., :, :-1]
+    edge[..., 1:, :] |= t[..., 1:, :] != t[..., :-1, :]
+    edge[..., :-1, :] |= t[..., 1:, :] != t[..., :-1, :]
+    return edge.astype(np.float32)
+
+
 class InferenceModel(Pix2PixHDSystem):
     """reference models/pix2pixHD_model.py:566-569."""
 

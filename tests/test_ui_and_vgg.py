@@ -67,3 +67,13 @@ def test_vgg_loss_scalar(rng_np):
     val = loss(x, x * 0.5)
     assert np.isfinite(float(val)) and float(val) > 0
     assert float(loss(x, x)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_get_edges():
+    from pix2pixhdaudiosr_tpu.ui_model import get_edges
+    t = np.zeros((6, 6), np.int32)
+    t[2:4, 2:4] = 7
+    e = get_edges(t)
+    assert e[2, 2] == 1 and e[1, 2] == 1 and e[4, 3] == 1
+    assert e[0, 0] == 0 and e[5, 5] == 0
+    assert e.dtype == np.float32
