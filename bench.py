@@ -24,6 +24,8 @@ REF_EFFECTIVE_FLOPS = 25e12  # assumed reference GPU effective fp16 FLOP/s
 
 
 def main():
+    from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from __graft_entry__ import _flagship_cfg
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
 

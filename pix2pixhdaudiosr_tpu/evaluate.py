@@ -24,6 +24,8 @@ from .utils import CheckpointManager
 
 
 def main(argv=None, cfg: Optional[Config] = None) -> None:
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if cfg is None:
         cfg = parse_config(argv, is_train=False)
 

@@ -26,6 +26,8 @@ from .utils.spectro_img import compute_visuals
 
 
 def main(argv=None, cfg: Optional[Config] = None) -> None:
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if cfg is None:
         cfg = parse_config(argv, is_train=False)
     visualizer = Visualizer(cfg.replace(is_train=True))  # web dir on

@@ -39,6 +39,8 @@ def lcm(a: int, b: int) -> int:
 
 
 def main(argv=None, cfg: Optional[Config] = None) -> None:
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if cfg is None:
         cfg = parse_config(argv, is_train=True)
     np.random.seed(cfg.seed)
