@@ -88,7 +88,17 @@ class Pix2PixHDSystem:
 
     def spectro_shape(self, batch: int) -> Tuple[int, int, int, int]:
         c = 2 if self.cfg.explicit_encoding else 1
-        return (batch, self.cfg.n_fft, self.n_frames, c)
+        cfg = self.cfg
+        stride = 2 ** cfg.n_downsample_global
+        if cfg.net_g == "local":
+            stride *= 2 ** cfg.n_local_enhancers
+        if self.n_frames % stride:
+            raise ValueError(
+                f"segment_length {cfg.segment_length} gives {self.n_frames} "
+                f"frames, not divisible by the generator stride {stride}; "
+                f"pick segment_length = (16k-1)*hop like the default "
+                f"(reference options/audio_config.py BINS%16==0 invariant)")
+        return (batch, cfg.n_fft, self.n_frames, c)
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array, batch: int = 1) -> Params:

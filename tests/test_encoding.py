@@ -100,3 +100,34 @@ def test_implicit_encoding_single_channel(rng_np):
     audio = jnp.asarray(rng_np.standard_normal((1, SEG)).astype(np.float32) * 0.1)
     spec, pha, norm = codec.to_spectro(audio, rng=jax.random.PRNGKey(0), mask=True)
     assert spec.shape == (1, 512, 128, 1)
+
+
+@pytest.mark.parametrize("lr_rate,up", [(24000, 2.0), (16000, 3.0),
+                                        (12000, 4.0), (8000, 6.0)])
+def test_up_ratio_ladder(rng_np, lr_rate, up):
+    """The reference's 2x/4x/3x/6x recipes (train_script.sh): mask size and
+    phase cutoff scale with up_ratio."""
+    codec = make_codec(up_ratio=up)
+    audio = jnp.asarray(rng_np.standard_normal((1, SEG)).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(0)
+    nomask, _, _ = codec.to_spectro(audio, rng=key, mask=False)
+    masked, pha, norm = codec.to_spectro(audio, rng=key, mask=True)
+    keep = 512 - int(512 * (1 - 1 / up))
+    np.testing.assert_array_equal(np.asarray(masked[:, :keep]),
+                                  np.asarray(nomask[:, :keep]))
+    assert not np.allclose(np.asarray(masked[:, keep:]),
+                           np.asarray(nomask[:, keep:]))
+    # inverse splices the true phase below 512/up
+    rec = codec.imdct_eval(nomask, pha, norm)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(audio) / 2, atol=2e-4)
+
+
+def test_bad_segment_length_raises():
+    from pix2pixhdaudiosr_tpu.config import Config
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+    cfg = Config(net_g="global", ngf=4, n_downsample_global=4,
+                 segment_length=25500, input_nc=2, output_nc=2, label_nc=0,
+                 explicit_encoding=True)
+    system = Pix2PixHDSystem(cfg)
+    with pytest.raises(ValueError, match="divisible by the generator stride"):
+        system.spectro_shape(1)
