@@ -53,6 +53,9 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
         start_epoch, epoch_iter = 1, 0
 
     # ---------------- data
+    if not cfg.dataroot:
+        raise SystemExit("--dataroot is required: a corpus directory or a "
+                         "csv file list (reference data/audio_dataset.py:64-79)")
     files = discover_files(cfg.dataroot, cfg.max_dataset_size)
     train_idx, val_idx = train_val_split(
         len(files), cfg.validation_split, cfg.seed,
