@@ -9,11 +9,11 @@ size of the generator's receptive field with `jax.lax.ppermute` over ICI,
 compute locally with overlap, and crop (SURVEY.md §5 long-context plan).
 
 Exactness note: convolution outputs are exact given halo >= receptive field
-and halo alignment to the total stride (2^n_downsample). InstanceNorm
-statistics are computed per-shard over the local+halo window rather than
-globally; for stationary spectrogram statistics over >=128 frames per shard
-the deviation is small (covered by tests with correlation bounds). A fully
-psum-exact InstanceNorm is a planned refinement.
+and halo alignment to the total stride (2^n_downsample). InstanceNorm is
+psum-exact: each layer pmeans its moments over the cp axis with halo regions
+masked out (models/layers.py:InstanceNorm cp_axis path), so the sharded
+generator matches the unsharded one to float tolerance — tests/test_halo_cp.py
+asserts <=6e-7 max error at 2/4/8 shards.
 """
 
 from __future__ import annotations

@@ -62,8 +62,8 @@ def main(argv=None):
     try:
         mem = compiled.memory_analysis()
         print("memory analysis:", mem)
-    except Exception:
-        pass
+    except Exception as e:
+        print("memory analysis unavailable:", e)
 
     out = compiled(params, audio, rng)
     t0 = time.perf_counter()
