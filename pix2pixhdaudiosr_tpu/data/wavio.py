@@ -7,8 +7,9 @@ with random-access segment reads (header is parsed once; only the requested
 byte range is read — the equivalent of torchaudio's frame_offset path).
 A faster native (C++/OpenMP) decode+resample pipeline lives in
 runtime/native; this module is the always-available fallback and the oracle
-for its tests. FLAC/MP3 are supported when the optional `soundfile` package
-is importable (not in the base image) and error clearly otherwise.
+for its tests. FLAC decodes through the self-contained codec in data/flac.py
+(the VCTK 0.92 / HiFi-TTS corpora ship as .flac); MP3 only with the optional
+`soundfile` package, with a clear error otherwise.
 """
 
 from __future__ import annotations
@@ -61,6 +62,11 @@ def _parse_header(path: str) -> WavInfo:
 
 
 def wav_info(path: str) -> WavInfo:
+    if os.path.splitext(path)[1].lower() == ".flac":
+        from .flac import flac_info
+        fi = flac_info(path)
+        return WavInfo(fi.sample_rate, fi.num_frames, fi.num_channels,
+                       fi.bits_per_sample, 1, fi.data_offset)
     return _parse_header(path)
 
 
@@ -92,6 +98,11 @@ def read_wav(path: str, frame_offset: int = 0,
     """Returns ([channels, frames] float32 in [-1,1], sample_rate). Reads only
     the requested byte range (random access like torchaudio frame_offset)."""
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".flac":
+        # self-contained decoder (data/flac.py) — the VCTK/HiFi-TTS profile
+        from .flac import read_flac
+        return read_flac(path, frame_offset=frame_offset,
+                         num_frames=num_frames)
     if ext != ".wav":
         try:
             import soundfile as sf

@@ -62,6 +62,8 @@ def _load():
         lib.decode_pcm_first_channel.argtypes = [u8p, c64, ctypes.c_int32,
                                                  ctypes.c_int32, ctypes.c_int32,
                                                  f32p, c64]
+        lib.flac_decode.restype = c64
+        lib.flac_decode.argtypes = [u8p, c64, f32p, c64, ctypes.c_int32]
         lib.make_pair_batch.restype = None
         lib.make_pair_batch.argtypes = [f32p, ctypes.POINTER(c64), c64, c64, c64,
                                         f64p, c64, c64, c64, c64,
@@ -145,6 +147,21 @@ def make_pair_batch(wavs: np.ndarray, lens: np.ndarray, orig_freq: int,
         _f64p(k_up), k_up.shape[1], p_up, q_up, w_up,
         _f32p(hr_out), _f32p(lr_out))
     return hr_out, lr_out
+
+
+def flac_decode(buf: bytes, num_frames: int, nch: int) -> Optional[np.ndarray]:
+    """Decode a complete FLAC stream to [C, T] float32 (None on failure or
+    when the native lib is unavailable — callers fall back to data/flac.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros((max(num_frames, 1), nch), np.float32)
+    b = np.frombuffer(buf, np.uint8)
+    n = lib.flac_decode(b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        len(buf), _f32p(out), num_frames, nch)
+    if n < 0:
+        return None
+    return np.ascontiguousarray(out[:n].T)
 
 
 def decode_pcm_first_channel(raw: bytes, fmt: int, bits: int,
