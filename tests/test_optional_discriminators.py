@@ -70,3 +70,67 @@ def test_hifigan_d_structure():
     assert len(out) == 3 + 5  # 3 scales + 5 periods
     for feats in out:
         assert feats[-1].shape[-1] == 1
+
+
+def test_normconv_weight_norm_matches_plain_at_init():
+    """g initializes to ||v||, so the weight-normed conv equals a plain conv
+    with the same kernel at initialization (torch weight_norm semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pix2pixhdaudiosr_tpu.models.hifigan_d import NormConv
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 8)),
+                    jnp.float32)
+    m_wn = NormConv(16, (5,), norm="weight")
+    m_plain = NormConv(16, (5,), norm="none")
+    p = m_wn.init(jax.random.PRNGKey(3), x)
+    p_plain = {"params": {"kernel": p["params"]["kernel"],
+                          "bias": p["params"]["bias"]}}
+    y_wn = m_wn.apply(p, x)
+    y_plain = m_plain.apply(p_plain, x)
+    np.testing.assert_allclose(np.asarray(y_wn), np.asarray(y_plain),
+                               atol=1e-5)
+    # and g must carry the per-output-channel kernel norms
+    v = np.asarray(p["params"]["kernel"])
+    np.testing.assert_allclose(np.asarray(p["params"]["g"]),
+                               np.sqrt((v * v).sum(axis=(0, 1))), rtol=1e-6)
+
+
+def test_normconv_spectral_divides_by_top_singular_value():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pix2pixhdaudiosr_tpu.models.hifigan_d import NormConv
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 32, 4)),
+                    jnp.float32)
+    m = NormConv(8, (3,), norm="spectral")
+    p = m.init(jax.random.PRNGKey(0), x)
+    v = np.asarray(p["params"]["kernel"])
+    sigma = np.linalg.svd(v.reshape(-1, v.shape[-1]), compute_uv=False)[0]
+    m_plain = NormConv(8, (3,), norm="none")
+    p_scaled = {"params": {"kernel": p["params"]["kernel"] / sigma,
+                           "bias": p["params"]["bias"]}}
+    y_sn = m.apply(p, x)
+    y_ref = m_plain.apply(p_scaled, x)
+    # 3 power iterations approximate sigma to ~1% on random kernels
+    np.testing.assert_allclose(np.asarray(y_sn), np.asarray(y_ref),
+                               rtol=0.05, atol=1e-3)
+
+
+def test_hifigan_norm_scheme():
+    """follow_official_norm: msd0 spectral (no g param), msd1/2 + mpd weight
+    (g present)."""
+    import jax
+    import jax.numpy as jnp
+    from pix2pixhdaudiosr_tpu.models.hifigan_d import \
+        HiFiGANMultiScaleMultiPeriodDiscriminator
+
+    d = HiFiGANMultiScaleMultiPeriodDiscriminator()
+    p = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1)))["params"]
+    def has_g(tree):
+        return any("g" in leaf for leaf in tree.values())
+    assert not has_g(p["msd0"])
+    assert has_g(p["msd1"]) and has_g(p["msd2"])
+    assert has_g(p["mpd2"]) and has_g(p["mpd11"])
