@@ -151,6 +151,12 @@ class Config:
     compute_dtype: str = "bfloat16"
     frames_per_segment: int = BINS
     zero_opt_state: bool = False     # ZeRO-1 moment sharding (parallel/zero.py)
+    tp_shards: int = 1    # Megatron TP over resblock channels at inference
+    #                       (parallel/tp.py shard_generator_params; the 730M
+    #                       default G motivates it — SURVEY.md §2.3)
+    fast_conv: bool = True  # Toeplitz lane-packing for the tiny-channel
+    #                         final convs (models/layers.py conv_toeplitz_t;
+    #                         exact to f32 roundoff; --no_fast_conv disables)
 
     # ------------------------------------------------------------------
     @property

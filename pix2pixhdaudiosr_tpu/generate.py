@@ -52,6 +52,16 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
         qtree, scales = quantize_params(params_g)
         params_g = dequantize_params(qtree, scales, jnp.float32)
         print("int8 weight quantization enabled")
+    if cfg.tp_shards > 1:
+        # Megatron tensor parallelism over the resblock channel dim: place
+        # the params with column/row shardings and let XLA insert the
+        # per-block psum (parallel/tp.py; SURVEY.md §2.3 TP row).
+        from .parallel import make_mesh
+        from .parallel.tp import shard_generator_params
+        n = min(cfg.tp_shards, len(jax.devices()))
+        tp_mesh = make_mesh((n,), ("tp",), devices=jax.devices()[:n])
+        params_g = shard_generator_params(params_g, tp_mesh)
+        print(f"tensor-parallel inference over {n} shards")
 
     @jax.jit
     def infer(pg, lr_audio, rng):

@@ -77,6 +77,49 @@ def _inorm(x, eps=1e-5):
     return (c * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def shard_generator_params(params_g: Any, mesh: Mesh, axis: str = "tp"):
+    """GSPMD tensor parallelism for a whole generator param tree: every
+    ResnetBlock (trunk `ResnetBlock_i` and enhancer `enhN_blockM`) gets its
+    first conv column-parallel and second conv row-parallel over `axis`;
+    everything else is replicated. XLA then inserts the per-block psum
+    automatically when the jitted forward consumes these placed params —
+    the pjit-native equivalent of make_tp_resblock_stack, usable without
+    model surgery (generate.py --tp_shards)."""
+    import re
+
+    col = NamedSharding(mesh, P(None, None, None, axis))
+    row = NamedSharding(mesh, P(None, None, axis, None))
+    bcol = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def is_block(name: str) -> bool:
+        return re.fullmatch(r"ResnetBlock_\d+|enh\d+_block\d+", name) is not None
+
+    def walk(tree, in_block: bool, conv_idx: str):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if is_block(k):
+                    out[k] = walk(v, True, "")
+                elif in_block and k.startswith("ConvIN_"):
+                    out[k] = walk(v, True, k)
+                else:
+                    out[k] = walk(v, in_block, conv_idx)
+            else:
+                if in_block and conv_idx == "ConvIN_0" and k == "kernel":
+                    sh = col
+                elif in_block and conv_idx == "ConvIN_0" and k == "bias":
+                    sh = bcol
+                elif in_block and conv_idx == "ConvIN_1" and k == "kernel":
+                    sh = row
+                else:
+                    sh = repl
+                out[k] = jax.device_put(v, sh)
+        return out
+
+    return walk(params_g, False, "")
+
+
 def make_tp_resblock_stack(mesh: Mesh, axis: str = "tp"):
     """Jitted fn(blocks, x) running the whole resblock stack tensor-parallel.
     `blocks` must be placed with shard_blocks(); x is replicated [B,H,W,C]."""

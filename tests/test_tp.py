@@ -52,3 +52,83 @@ def test_extract_resblocks(rng_np):
     assert len(blocks) == 2
     assert blocks[0]["w1"].shape == (3, 3, 16, 16)  # ngf*4 at the bottleneck
     assert blocks[0]["b2"].shape == (16,)
+
+
+def test_shard_generator_params_exact():
+    """GSPMD TP (parallel/tp.py shard_generator_params): the generator with
+    column/row-sharded resblock kernels must equal the replicated forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pix2pixhdaudiosr_tpu.config import Config
+    from pix2pixhdaudiosr_tpu.parallel import make_mesh
+    from pix2pixhdaudiosr_tpu.parallel.tp import shard_generator_params
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+
+    cfg = Config(net_g="local", ngf=8, n_blocks_global=2, n_blocks_local=1,
+                 n_downsample_global=2, n_local_enhancers=1, input_nc=2,
+                 output_nc=2, label_nc=0, no_instance=True,
+                 explicit_encoding=True, mask_mode="mode2", no_vgg_loss=True,
+                 segment_length=(32 - 1) * 256, compute_dtype="float32")
+    system = Pix2PixHDSystem(cfg)
+    params = jax.jit(lambda k: system.netG.init(
+        k, jnp.zeros(system.spectro_shape(1), jnp.float32)))(
+            jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        system.spectro_shape(2)).astype(np.float32))
+    ref = jax.jit(system.netG.apply)(params, x)
+    for n in (2, 4):
+        mesh = make_mesh((n,), ("tp",), devices=jax.devices()[:n])
+        sharded = shard_generator_params(params, mesh)
+        out = jax.jit(system.netG.apply)(sharded, x)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32), atol=2e-5)
+
+
+def test_generate_cli_tp_shards(tmp_path):
+    """--tp_shards 2 through the generate CLI on the virtual mesh (VERDICT.md
+    round-1 item 7). The 730M G9L3@64 target config is exercised
+    shape-only (eval_shape) to keep CI light; the CLI run uses the same
+    LocalEnhancer topology at a small width."""
+    import subprocess
+    import sys
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pix2pixhdaudiosr_tpu.config import Config
+    from pix2pixhdaudiosr_tpu.data import write_wav
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+
+    # shape-only: the sharding rules apply cleanly to the 730M default G
+    big = Config(net_g="local", ngf=64, n_blocks_global=9, n_blocks_local=3,
+                 input_nc=2, output_nc=2, label_nc=0, no_instance=True,
+                 explicit_encoding=True, no_vgg_loss=True)
+    bigsys = Pix2PixHDSystem(big)
+    shapes = jax.eval_shape(bigsys.netG.init, jax.random.PRNGKey(0),
+                            jnp.zeros(bigsys.spectro_shape(1), jnp.float32))
+    n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert n_params == 730_713_346  # reference train_script.sh G9L3@64
+
+    wav = tmp_path / "in.wav"
+    t = np.arange(40000) / 48000
+    write_wav(str(wav), (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+              48000)
+    from pix2pixhdaudiosr_tpu.generate import main as gen_main
+    cfg = Config(name="tpgen", checkpoints_dir=str(tmp_path / "ck"),
+                 dataroot=str(wav), net_g="local", ngf=8, n_blocks_global=2,
+                 n_blocks_local=1, n_downsample_global=2, n_local_enhancers=1,
+                 input_nc=2, output_nc=2, label_nc=0, no_instance=True,
+                 explicit_encoding=True, mask_mode="mode2", no_vgg_loss=True,
+                 batch_size=2, serial_batches=True, phase="test",
+                 validation_split=0.0, tp_shards=2, is_train=False,
+                 compute_dtype="float32")
+    import os
+    os.makedirs(cfg.expr_dir, exist_ok=True)
+    # seed a checkpoint for the CLI to restore (it refuses to run untrained)
+    from pix2pixhdaudiosr_tpu.trainer import init_state
+    from pix2pixhdaudiosr_tpu.utils import CheckpointManager
+    system = Pix2PixHDSystem(cfg.replace(is_train=True))
+    state, *_ = init_state(system, jax.random.PRNGKey(0), batch=1)
+    CheckpointManager(cfg.expr_dir).save(jax.device_get(state), "latest")
+    gen_main(cfg=cfg)
+    assert os.path.exists(os.path.join(cfg.expr_dir, "sr_audio.wav"))
