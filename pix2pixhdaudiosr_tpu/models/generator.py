@@ -55,14 +55,18 @@ class GlobalGenerator(nn.Module):
     n_blocks: int = 9
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
+    fast_conv: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = GlobalTrunk(self.input_nc, self.ngf, self.n_downsampling,
                         self.n_blocks, dtype=self.dtype,
                         cp_axis=self.cp_axis)(x)
+        # the tiny-output-channel final conv is MXU-lane-bound under the
+        # plain lowering; Toeplitz time-tiling halves it (BASELINE.md)
+        impl = "toeplitz" if self.fast_conv else None
         return ConvIN(self.output_nc, 7, reflect=3, norm=False, act="tanh",
-                      dtype=self.dtype, cp_axis=self.cp_axis)(x)
+                      dtype=self.dtype, cp_axis=self.cp_axis, impl=impl)(x)
 
 
 class LocalEnhancer(nn.Module):
@@ -78,6 +82,7 @@ class LocalEnhancer(nn.Module):
     n_blocks_local: int = 3
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
+    fast_conv: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -106,8 +111,9 @@ class LocalEnhancer(nn.Module):
             h = ConvTransposeIN(ngf_n, dtype=self.dtype, cp_axis=cp,
                                 name=f"enh{n}_up")(h)
             if n == nle:
+                impl = "toeplitz" if self.fast_conv else None
                 h = ConvIN(self.output_nc, 7, reflect=3, norm=False, act="tanh",
-                           dtype=self.dtype, cp_axis=cp,
+                           dtype=self.dtype, cp_axis=cp, impl=impl,
                            name=f"enh{n}_final")(h)
             out = h
         return out
@@ -149,15 +155,18 @@ class Encoder(nn.Module):
 def build_generator(net_g: str, input_nc: int, output_nc: int, ngf: int,
                     n_downsample_global: int, n_blocks_global: int,
                     n_local_enhancers: int, n_blocks_local: int,
-                    dtype=jnp.float32, cp_axis=None) -> nn.Module:
+                    dtype=jnp.float32, cp_axis=None,
+                    fast_conv: bool = True) -> nn.Module:
     """define_G parity (reference models/networks.py:27-44)."""
     if net_g == "global":
         return GlobalGenerator(input_nc, output_nc, ngf, n_downsample_global,
-                               n_blocks_global, dtype=dtype, cp_axis=cp_axis)
+                               n_blocks_global, dtype=dtype, cp_axis=cp_axis,
+                               fast_conv=fast_conv)
     if net_g == "local":
         return LocalEnhancer(input_nc, output_nc, ngf, n_downsample_global,
                              n_blocks_global, n_local_enhancers,
-                             n_blocks_local, dtype=dtype, cp_axis=cp_axis)
+                             n_blocks_local, dtype=dtype, cp_axis=cp_axis,
+                             fast_conv=fast_conv)
     if net_g == "encoder":
         return Encoder(input_nc, output_nc, ngf, n_downsample_global, dtype=dtype)
     raise ValueError(f"generator not implemented: {net_g}")

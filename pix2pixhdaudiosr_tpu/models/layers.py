@@ -27,6 +27,82 @@ import numpy as np
 conv_init = nn.initializers.normal(stddev=0.02)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only holder so custom conv formulations keep the exact
+    nn.Conv/nn.ConvTranspose param tree (ConvIN_i/Conv_0/{kernel,bias}) —
+    checkpoints, TP extraction (parallel/tp.py) and the ladder param-count
+    oracle all key on those paths."""
+    kshape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", conv_init, self.kshape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.kshape[-1],),
+                       jnp.float32)
+        return k, b
+
+
+def _make_toeplitz_t(w: jnp.ndarray, S: int) -> jnp.ndarray:
+    """[k,k,ci,co] -> [k, S+k-1, ci, S*co] banded kernel spanning an S-wide
+    time tile: W2[dh, t_in, i, t_out*co+o] = w[dh, t_in-t_out, i, o]."""
+    k, _, ci, co = w.shape
+    d = np.arange(S + k - 1)[:, None] - np.arange(S)[None, :]
+    idx = np.where((d >= 0) & (d < k), d, k)      # k -> zero row
+    wp = jnp.pad(w, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    g = wp[:, idx]                                # [k, S+k-1, S, ci, co]
+    g = jnp.moveaxis(g, 3, 2)                     # [k, S+k-1, ci, S, co]
+    return g.reshape(k, S + k - 1, ci, S * co)
+
+
+def conv_toeplitz_t(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
+                    S: int = 16) -> jnp.ndarray:
+    """VALID conv of pre-padded x [B,Hp,Wp,ci] with w [k,k,ci,co] via a
+    kernel spanning an S-wide tile of the time (W) axis, so the MXU matmul's
+    lane dim is S*co instead of co. Measured 2.1x faster than XLA's lowering
+    for the enhancer's full-res 48->2 conv (benchmarks/conv_experiments2.py:
+    10.9 -> 5.2 ms at batch 64 on v5e); exact to f32 roundoff."""
+    k = w.shape[0]
+    co = w.shape[3]
+    B, Hp, Wp, _ = x.shape
+    H, W = Hp - k + 1, Wp - k + 1
+    w2 = _make_toeplitz_t(w, S).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w2, (1, S), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(B, H, W // S, S, co).reshape(B, H, W, co)
+    return y + bias.astype(y.dtype)
+
+
+def conv_subpixel_transpose(x: jnp.ndarray, w: jnp.ndarray,
+                            bias: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose(3x3, stride 2, SAME, no kernel flip) as ONE stride-1
+    2x2 conv producing 4 output phases + depth-to-space, avoiding the
+    zero-dilated-input lowering. lax.conv_transpose maps
+    out[u,v] += w[p,q] x[i,j] at u = 2i+2-p, so phase a = u%2 uses taps
+    p%2 == a at input offset (a+p)//2 into a top/left-padded x. Exact;
+    faster than XLA's lowering for the 192->96 full-res trunk deconv
+    (benchmarks/conv_experiments3.py)."""
+    B, H, W, ci = x.shape
+    co = w.shape[-1]
+    wk = jnp.zeros((2, 2, ci, 2, 2, co), w.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            for p in range(3):
+                if (a + p) % 2:
+                    continue
+                for q in range(3):
+                    if (b + q) % 2:
+                        continue
+                    wk = wk.at[(a + p) // 2, (b + q) // 2, :, a, b, :].add(
+                        w[p, q])
+    wk = wk.reshape(2, 2, ci, 4 * co).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, wk, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(B, H, W, 2, 2, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, co)
+    return y + bias.astype(y.dtype)
+
+
 def reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
     """nn.ReflectionPad2d(p) on NHWC."""
     return jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
@@ -59,20 +135,23 @@ def cp_pad_w(x: jnp.ndarray, radius: int, axis_name: str,
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
                   cp_axis: Optional[str] = None) -> jnp.ndarray:
     """InstanceNorm2d(affine=False) (reference models/networks.py:22): per
-    (sample, channel) statistics over H, W. Stats in f32 regardless of the
-    compute dtype (bf16-safe). Under frame-axis context parallelism the
-    moments are pmean'd across equal-sized shards (exact, since per-layer halo
-    exchange keeps each shard's block identical to its slice of the unsharded
-    activation)."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    (sample, channel) statistics over H, W. Stats accumulate in f32 inside
+    the reductions (dtype=...) so no f32 copy of a bf16 activation is ever
+    materialized — both moments come from one fused read and the normalize
+    is a second read+write, the HBM floor (measured ~40% faster grads than
+    the centered two-pass formulation; benchmarks/in_experiments.py). Under
+    frame-axis context parallelism the moments are pmean'd across equal-sized
+    shards (exact, since per-layer halo exchange keeps each shard's block
+    identical to its slice of the unsharded activation)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                   keepdims=True, dtype=jnp.float32)
     if cp_axis is not None:
         mean = jax.lax.pmean(mean, cp_axis)
-    centered = x32 - mean
-    var = jnp.mean(centered * centered, axis=(1, 2), keepdims=True)
-    if cp_axis is not None:
-        var = jax.lax.pmean(var, cp_axis)
-    return (centered * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+        ex2 = jax.lax.pmean(ex2, cp_axis)
+    var = jnp.maximum(ex2 - mean * mean, 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    return ((x.astype(jnp.float32) - mean) * scale).astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=32)
@@ -141,7 +220,13 @@ def avg_pool_3s2(x: jnp.ndarray, cp_axis: Optional[str] = None) -> jnp.ndarray:
 
 
 class ConvIN(nn.Module):
-    """Conv(+optional reflect pad) -> InstanceNorm -> activation."""
+    """Conv(+optional reflect pad) -> InstanceNorm -> activation.
+
+    impl="toeplitz": lane-pack the time axis through conv_toeplitz_t —
+    for tiny output-channel convs (the enhancer's full-res c7s1-2) whose
+    plain lowering is MXU-lane-bound. Applies only when unstrided,
+    reflect-padded, not under CP, and the frame count divides the tile;
+    falls back to the plain conv otherwise. Param tree is unchanged."""
     features: int
     kernel: int
     stride: int = 1
@@ -151,6 +236,8 @@ class ConvIN(nn.Module):
     act: str = "relu"         # relu | leaky | tanh | none
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
+    impl: Optional[str] = None
+    toeplitz_s: int = 16
 
     @nn.compact
     def __call__(self, x):
@@ -162,15 +249,24 @@ class ConvIN(nn.Module):
                 x = jnp.pad(x, [(0, 0), (self.reflect,) * 2, (0, 0), (0, 0)],
                             mode="reflect")
                 x = cp_pad_w(x, self.reflect, cp, mode="reflect")
-        w_pad = (self.pad, self.pad)
-        if cp is not None and self.pad:
-            x = cp_pad_w(x, self.pad, cp, mode="zeros")
-            w_pad = (0, 0)
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=[(self.pad, self.pad), w_pad],
-                    kernel_init=conv_init, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        use_toeplitz = (self.impl == "toeplitz" and cp is None
+                        and self.stride == 1 and self.pad == 0 and self.reflect
+                        and (x.shape[2] - self.kernel + 1) % self.toeplitz_s == 0)
+        if use_toeplitz:
+            k, b = _ConvParams((self.kernel, self.kernel,
+                                x.shape[-1], self.features), name="Conv_0")()
+            x = conv_toeplitz_t(x.astype(self.dtype), k.astype(self.dtype),
+                                b, S=self.toeplitz_s)
+        else:
+            w_pad = (self.pad, self.pad)
+            if cp is not None and self.pad:
+                x = cp_pad_w(x, self.pad, cp, mode="zeros")
+                w_pad = (0, 0)
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=[(self.pad, self.pad), w_pad],
+                        kernel_init=conv_init, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
         if self.norm:
             x = instance_norm(x, cp_axis=cp)
         if self.act == "relu":
@@ -191,10 +287,17 @@ class ConvTransposeIN(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
+    impl: Optional[str] = None   # "subpixel": see conv_subpixel_transpose
 
     @nn.compact
     def __call__(self, x):
         cp = self.cp_axis
+        if self.impl == "subpixel" and cp is None:
+            k, b = _ConvParams((3, 3, x.shape[-1], self.features),
+                               name="ConvTranspose_0")()
+            x = conv_subpixel_transpose(x.astype(self.dtype),
+                                        k.astype(self.dtype), b)
+            return nn.relu(instance_norm(x, cp_axis=cp))
         if cp is not None:
             x = cp_pad_w(x, 1, cp, mode="zeros")
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),

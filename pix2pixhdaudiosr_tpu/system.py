@@ -50,7 +50,8 @@ class Pix2PixHDSystem:
         self.netG = build_generator(
             cfg.net_g, cfg.netg_input_nc, cfg.output_nc, cfg.ngf,
             cfg.n_downsample_global, cfg.n_blocks_global,
-            cfg.n_local_enhancers, cfg.n_blocks_local, dtype=self.dtype)
+            cfg.n_local_enhancers, cfg.n_blocks_local, dtype=self.dtype,
+            fast_conv=cfg.fast_conv)
         self.netD = build_discriminator(
             cfg.netd_input_nc, cfg.ndf, cfg.n_layers_d,
             use_sigmoid=cfg.no_lsgan, num_d=cfg.num_d,
