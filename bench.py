@@ -1,16 +1,16 @@
-"""Benchmark: flagship inference throughput (MDCT encode + G3L2@48ngf
-generator forward) on one chip, the BASELINE.md headline metric
-(spectrogram-frames/sec/chip).
+"""Benchmark: flagship throughput on one chip.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints TWO JSON lines (VERDICT.md round-1 item 6):
+  1. flagship 156M-param GAN TRAIN step (G+D fwd+bwd+2xAdam), segments/s
+  2. flagship inference (MDCT encode + G forward), spectrogram frames/s —
+     the BASELINE.md headline metric, printed LAST.
 
 vs_baseline: measured samples/sec divided by an estimated reference GPU
 samples/sec. The reference publishes no throughput (BASELINE.md), so the
-estimate is analytic: generator FLOPs per sample (from XLA cost analysis)
-divided by an assumed 25 TFLOP/s effective fp16 throughput for the
-reference's single training GPU (V100-class at ~20% conv utilization,
-consistent with its batchSize-64 fp16 recipes). Recorded in BASELINE.md.
+estimate is analytic: FLOPs per sample (from XLA cost analysis) divided by
+an assumed 25 TFLOP/s effective fp16 throughput for the reference's single
+training GPU (V100-class at ~20% conv utilization, consistent with its
+batchSize-64 fp16 recipes). Recorded in BASELINE.md.
 """
 
 import json
@@ -23,6 +23,86 @@ import numpy as np
 REF_EFFECTIVE_FLOPS = 25e12  # assumed reference GPU effective fp16 FLOP/s
 
 
+def _host_params_from_shapes(shapes, seed=0):
+    rng_np = np.random.default_rng(seed)
+    return jax.tree.map(
+        lambda s: jax.device_put(
+            (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
+
+
+def _timed(compiled, args, sumjit, reduce_out, small=3, extra=10):
+    """Differenced timing: run `small` and `small+extra` iterations, fetch a
+    derived scalar to fence (block_until_ready does not fence AOT executions
+    on the axon relay), return seconds per iteration."""
+    def run(iters, a):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(iters):
+            o = compiled(*a)
+        float(sumjit(reduce_out(o)))
+        return time.perf_counter() - t0
+
+    run(2, args)
+    t_small = run(small, args)
+    t_big = run(small + extra, args)
+    return (t_big - t_small) / extra
+
+
+def bench_train_step(system, cfg):
+    """Flagship 156M-param two-optimizer GAN train step, batch 64."""
+    from pix2pixhdaudiosr_tpu.trainer import (_split_params, make_optimizer,
+                                              make_train_step, TrainState)
+
+    batch = 64
+    rng_np = np.random.default_rng(0)
+    shapes = jax.eval_shape(lambda k: system.init_params(k, batch=batch),
+                            jax.random.PRNGKey(0))
+    params = _host_params_from_shapes(shapes)
+    opt_g, opt_d = make_optimizer(cfg), make_optimizer(cfg)
+
+    @jax.jit
+    def init_opts(p):
+        pg, pd = _split_params(p)
+        return opt_g.init(pg), opt_d.init(pd)
+
+    og, od = init_opts(params)
+    state = TrainState(params=params, opt_g=og, opt_d=od,
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    data = {
+        "label": jnp.asarray(rng_np.standard_normal(
+            (batch, cfg.segment_length)).astype(np.float32) * 0.1),
+        "image": jnp.asarray(rng_np.standard_normal(
+            (batch, cfg.segment_length)).astype(np.float32) * 0.1),
+    }
+    key = jax.random.PRNGKey(1)
+    lowered = step.lower(state, data, key, None, fix_global=False,
+                         with_visuals=False)
+    compiled = lowered.compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    sumjit = jax.jit(lambda x: x.sum())
+    per = _timed(compiled, (state, data, key, None), sumjit,
+                 lambda o: o[1]["G_GAN"], small=2, extra=6)
+    seg_per_sec = batch / per
+    if flops:
+        ref_sps = REF_EFFECTIVE_FLOPS / (flops / batch)
+        vs_baseline = seg_per_sec / ref_sps
+    else:
+        vs_baseline = 0.0
+    print(json.dumps({
+        "metric": "flagship_train_step_segments_per_sec_per_chip",
+        "value": round(seg_per_sec, 1),
+        "unit": "segments/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }), flush=True)
+
+
 def main():
     from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
@@ -31,6 +111,11 @@ def main():
 
     cfg = _flagship_cfg()
     system = Pix2PixHDSystem(cfg)
+
+    try:
+        bench_train_step(system, cfg)
+    except Exception as e:  # the headline inference line must still print
+        print(f"train-step bench failed: {e}", flush=True)
     batch = 128  # best measured serving batch on v5e (64 amortizes worse;
     # the reference trains at 64 — see BASELINE.md batch sweep)
 
