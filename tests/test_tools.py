@@ -38,3 +38,42 @@ def test_kmeans(rng_np):
     # fewer points than clusters degrades gracefully
     c2 = kmeans(feat[:3], 8)
     assert c2.shape[0] == 3
+
+
+def test_fetch_vctk_prepare_mock_corpus(tmp_path):
+    """tools/fetch_vctk.py prepare dry-run against a 3-file mock VCTK layout
+    (FLAC, wav48_silence_trimmed subdir) — VERDICT.md round-1 item 9."""
+    import numpy as np
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import fetch_vctk
+    from pix2pixhdaudiosr_tpu.data import flac
+
+    root = tmp_path / "VCTK"
+    d = root / "wav48_silence_trimmed" / "p225"
+    d.mkdir(parents=True)
+    t = np.arange(20000) / 48000
+    for i in range(3):
+        x = (0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        flac.write_flac(str(d / f"p225_{i:03d}_mic1.flac"), x, 48000)
+    out = tmp_path / "lists"
+    rc = fetch_vctk.prepare(str(root), str(out), test=1, seed=1, sample=3)
+    assert rc == 0
+    train = (out / "train.csv").read_text().strip().splitlines()
+    test = (out / "test.csv").read_text().strip().splitlines()
+    assert len(train) == 2 and len(test) == 1
+    # the csv paths must resolve and decode through the data layer
+    from pix2pixhdaudiosr_tpu.data import read_wav
+    wav, rate = read_wav(os.path.join(str(out), train[0]))
+    assert rate == 48000 and wav.shape[1] == 20000
+
+
+def test_fetch_vctk_verify_mismatch(tmp_path):
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import fetch_vctk
+    p = tmp_path / "fake.zip"
+    p.write_bytes(b"not the corpus")
+    assert fetch_vctk.verify(str(p)) == 1
