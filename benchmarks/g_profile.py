@@ -24,6 +24,9 @@ import numpy as np
 
 from pix2pixhdaudiosr_tpu.models.layers import (ConvIN, ConvTransposeIN,
                                                 ResnetBlock, avg_pool_3s2)
+from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 _sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 

@@ -108,6 +108,60 @@ def reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
     return jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)], mode="reflect")
 
 
+def conv_reflect_same(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
+                      toeplitz_s: Optional[int] = None) -> jnp.ndarray:
+    """Reflect-padded SAME conv WITHOUT materializing the padded input.
+
+    jnp.pad(mode="reflect") on the activation costs a full HBM read+write
+    (~400 MB per enhancer-resblock conv at batch 64) and misaligns W off the
+    8-sublane tile (64 -> 66). Instead: zero padding fused into the conv's
+    padding spec (free on the MXU path) + four thin border-correction strips
+    that add exactly the reflected out-of-range taps. Top/bottom strips hold
+    the reflected rows (xpad rows 0..r-1 / H+r..H+2r-1) with col-reflect
+    padding so corner taps are included there; left/right strips use the
+    conv's ZERO row padding so those corner taps aren't double-counted. The
+    correction adds are zero-pads of [B,r,W,co]-sized tensors that XLA fuses
+    into the epilogue. Exact to f32 roundoff (tests/test_fast_conv.py).
+
+    toeplitz_s: additionally lane-pack the time axis (see conv_toeplitz_t)
+    with the zero padding folded into the strided conv; the output tiling
+    works out because (W + 2r - (S+k-1))/S + 1 == W/S.
+    """
+    k = w.shape[0]
+    r = k // 2
+    B, H, W, _ = x.shape
+    co = w.shape[-1]
+    dn = ("NHWC", "HWIO", "NHWC")
+    if toeplitz_s:
+        S = toeplitz_s
+        w2 = _make_toeplitz_t(w, S).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(x, w2, (1, S), [(r, r), (r, r)],
+                                         dimension_numbers=dn)
+        y = y.reshape(B, H, W // S, S, co).reshape(B, H, W, co)
+    else:
+        y = jax.lax.conv_general_dilated(x, w, (1, 1), [(r, r), (r, r)],
+                                         dimension_numbers=dn)
+    vt = x[:, 1:r + 1][:, ::-1]
+    vb = x[:, H - 1 - r:H - 1][:, ::-1]
+    vt = jnp.pad(vt, [(0, 0), (0, 0), (r, r), (0, 0)], mode="reflect")
+    vb = jnp.pad(vb, [(0, 0), (0, 0), (r, r), (0, 0)], mode="reflect")
+    ct = jax.lax.conv_general_dilated(vt, w, (1, 1), [(0, k - 1), (0, 0)],
+                                      dimension_numbers=dn)
+    cb = jax.lax.conv_general_dilated(vb, w, (1, 1), [(k - 1, 0), (0, 0)],
+                                      dimension_numbers=dn)
+    vl = x[:, :, 1:r + 1][:, :, ::-1]
+    vr = x[:, :, W - 1 - r:W - 1][:, :, ::-1]
+    cl = jax.lax.conv_general_dilated(vl, w, (1, 1), [(r, r), (0, k - 1)],
+                                      dimension_numbers=dn)
+    cr = jax.lax.conv_general_dilated(vr, w, (1, 1), [(r, r), (k - 1, 0)],
+                                      dimension_numbers=dn)
+    y = y + jnp.pad(ct, [(0, 0), (0, H - r), (0, 0), (0, 0)])
+    y = y + jnp.pad(cb, [(0, 0), (H - r, 0), (0, 0), (0, 0)])
+    y = y + jnp.pad(cl, [(0, 0), (0, 0), (0, W - r), (0, 0)])
+    y = y + jnp.pad(cr, [(0, 0), (0, 0), (W - r, 0), (0, 0)])
+    return y + bias.astype(y.dtype)
+
+
 def cp_pad_w(x: jnp.ndarray, radius: int, axis_name: str,
              mode: str = "zeros") -> jnp.ndarray:
     """Pad the W axis (axis 2) of a frame-sharded block by `radius` with the
@@ -222,11 +276,18 @@ def avg_pool_3s2(x: jnp.ndarray, cp_axis: Optional[str] = None) -> jnp.ndarray:
 class ConvIN(nn.Module):
     """Conv(+optional reflect pad) -> InstanceNorm -> activation.
 
-    impl="toeplitz": lane-pack the time axis through conv_toeplitz_t —
-    for tiny output-channel convs (the enhancer's full-res c7s1-2) whose
-    plain lowering is MXU-lane-bound. Applies only when unstrided,
-    reflect-padded, not under CP, and the frame count divides the tile;
-    falls back to the plain conv otherwise. Param tree is unchanged."""
+    Reflect-padded convs (stride 1, not under CP) run through
+    conv_reflect_same when the activation is large relative to the weights
+    (see `worth_it` below): zero padding fused into the conv + thin
+    border-correction strips, saving the materialized padded copy (a full
+    HBM round-trip) and keeping W tile-aligned. impl="padded" forces the
+    materialized jnp.pad path; impl="implicit" forces the implicit one.
+
+    impl="toeplitz": additionally lane-pack the time axis through the
+    banded Toeplitz kernel — for tiny output-channel convs (the enhancer's
+    full-res c7s1-2) whose plain lowering is MXU-lane-bound. Applies only
+    when the frame count divides the tile; falls back otherwise. Param tree
+    is unchanged in all cases."""
     features: int
     kernel: int
     stride: int = 1
@@ -242,17 +303,37 @@ class ConvIN(nn.Module):
     @nn.compact
     def __call__(self, x):
         cp = self.cp_axis
-        if self.reflect:
+        # Implicit reflect padding wins when the activation dwarfs the
+        # weights: it saves a full pad round-trip over B*H*W*ci but its four
+        # correction convs each re-read the [k,k,ci,co] weight from HBM. For
+        # the deep trunk resblocks (1536-2048 ch at 32x8) the weight re-reads
+        # dominate (measured +4 ms at batch 64); for the full-res enhancer
+        # layers the pad copy dominates (measured -4 ms). Threshold: saved
+        # pad traffic 2*B*H*W*ci vs ~4 weight reads 4*k^2*ci*co.
+        B_, H_, W_ = x.shape[0], x.shape[1], x.shape[2]
+        worth_it = (self.impl == "implicit"
+                    or B_ * H_ * W_ > 4 * self.kernel ** 2 * self.features)
+        use_implicit = (self.reflect and cp is None and self.stride == 1
+                        and self.pad == 0 and self.impl != "padded"
+                        and self.reflect == self.kernel // 2 and worth_it)
+        if self.reflect and not use_implicit:
             if cp is None:
                 x = reflect_pad(x, self.reflect)
             else:
                 x = jnp.pad(x, [(0, 0), (self.reflect,) * 2, (0, 0), (0, 0)],
                             mode="reflect")
                 x = cp_pad_w(x, self.reflect, cp, mode="reflect")
-        use_toeplitz = (self.impl == "toeplitz" and cp is None
-                        and self.stride == 1 and self.pad == 0 and self.reflect
-                        and (x.shape[2] - self.kernel + 1) % self.toeplitz_s == 0)
-        if use_toeplitz:
+        if use_implicit:
+            s = self.toeplitz_s
+            ts = (s if self.impl == "toeplitz" and x.shape[2] % s == 0
+                  else None)
+            k, b = _ConvParams((self.kernel, self.kernel,
+                                x.shape[-1], self.features), name="Conv_0")()
+            x = conv_reflect_same(x.astype(self.dtype), k.astype(self.dtype),
+                                  b, toeplitz_s=ts)
+        elif (self.impl == "toeplitz" and cp is None and self.stride == 1
+              and self.pad == 0 and self.reflect
+              and (x.shape[2] - self.kernel + 1) % self.toeplitz_s == 0):
             k, b = _ConvParams((self.kernel, self.kernel,
                                 x.shape[-1], self.features), name="Conv_0")()
             x = conv_toeplitz_t(x.astype(self.dtype), k.astype(self.dtype),
