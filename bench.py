@@ -128,6 +128,10 @@ def main():
     params_g = jax.tree.map(
         lambda s: jax.device_put(
             (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
+    # serving param layout: pre-cast to the compute dtype once (bit-identical
+    # to the per-call cast every conv does; halves param HBM traffic) — same
+    # as generate.py's serving path
+    params_g = jax.tree.map(lambda a: a.astype(system.dtype), params_g)
 
     @jax.jit
     def fwd(params, lr_audio, rng):
