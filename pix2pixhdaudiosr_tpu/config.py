@@ -157,6 +157,13 @@ class Config:
     fast_conv: bool = True  # Toeplitz lane-packing for the tiny-channel
     #                         final convs (models/layers.py conv_toeplitz_t;
     #                         exact to f32 roundoff; --no_fast_conv disables)
+    fused_enhancer: bool = False  # Pallas fused enhancer-resblock chain at
+    #                               inference (ops/enhancer_pallas.py; bf16,
+    #                               batch a multiple of 128 required).
+    #                               Default OFF: on v5e the measured win over
+    #                               XLA's lowering is within noise (see
+    #                               BASELINE.md round-2 kernel campaign);
+    #                               kept as a tested option for future chips
 
     # ------------------------------------------------------------------
     @property

@@ -14,7 +14,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ConvIN, ConvTransposeIN, ResnetBlock, avg_pool_3s2
+from ..ops import enhancer_pallas
+from .layers import (ConvIN, ConvTransposeIN, ResnetBlock, _ChildConvParams,
+                     avg_pool_3s2)
 
 
 class GlobalTrunk(nn.Module):
@@ -83,6 +85,7 @@ class LocalEnhancer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
     fast_conv: bool = True
+    fused_enh_blocks: bool = False  # Pallas fused resblock chain (inference)
 
     @nn.compact
     def __call__(self, x):
@@ -100,16 +103,38 @@ class LocalEnhancer(nn.Module):
         for n in range(1, nle + 1):
             ngf_n = self.ngf * (2 ** (nle - n))
             inp = pyramid[nle - n]
+            bi, hi, wi, _ = inp.shape
             down = ConvIN(ngf_n, 7, reflect=3, dtype=self.dtype, cp_axis=cp,
                           name=f"enh{n}_down0")(inp)
-            down = ConvIN(ngf_n * 2, 3, stride=2, pad=1, dtype=self.dtype,
-                          cp_axis=cp, name=f"enh{n}_down1")(down)
-            h = down + out
-            for i in range(self.n_blocks_local):
-                h = ResnetBlock(ngf_n * 2, dtype=self.dtype, cp_axis=cp,
-                                name=f"enh{n}_block{i}")(h)
-            h = ConvTransposeIN(ngf_n, dtype=self.dtype, cp_axis=cp,
-                                name=f"enh{n}_up")(h)
+            blocks = [ResnetBlock(ngf_n * 2, dtype=self.dtype, cp_axis=cp,
+                                  name=f"enh{n}_block{i}")
+                      for i in range(self.n_blocks_local)]
+            fused = (self.fused_enh_blocks and cp is None
+                     and self.n_blocks_local > 0
+                     and jnp.dtype(self.dtype) == jnp.bfloat16
+                     and enhancer_pallas.supports(
+                         (bi, hi // 2, wi // 2, ngf_n * 2), self.dtype))
+            if fused:
+                # lane-bound 3x3 convs + InstanceNorm + entry/residual adds
+                # fused in Pallas (ops/enhancer_pallas.py; ~2x the in-graph
+                # TF/s of the XLA lowering on v5e); param tree identical,
+                # numerics to bf16 roundoff. Inference-only (no vjp).
+                k, b = _ChildConvParams((3, 3, down.shape[-1], ngf_n * 2),
+                                        name=f"enh{n}_down1")()
+                d_raw = enhancer_pallas.conv_s2_raw(
+                    down.astype(self.dtype), k, b)
+                pairs = [blk(d_raw, params_only=True) for blk in blocks]
+                h = enhancer_pallas.fused_enhancer_section(d_raw, out, pairs)
+                h = ConvTransposeIN(ngf_n, dtype=self.dtype, cp_axis=cp,
+                                    name=f"enh{n}_up")(h)
+            else:
+                down = ConvIN(ngf_n * 2, 3, stride=2, pad=1, dtype=self.dtype,
+                              cp_axis=cp, name=f"enh{n}_down1")(down)
+                h = down + out
+                for blk in blocks:
+                    h = blk(h)
+                h = ConvTransposeIN(ngf_n, dtype=self.dtype, cp_axis=cp,
+                                    name=f"enh{n}_up")(h)
             if n == nle:
                 impl = "toeplitz" if self.fast_conv else None
                 h = ConvIN(self.output_nc, 7, reflect=3, norm=False, act="tanh",
@@ -156,7 +181,8 @@ def build_generator(net_g: str, input_nc: int, output_nc: int, ngf: int,
                     n_downsample_global: int, n_blocks_global: int,
                     n_local_enhancers: int, n_blocks_local: int,
                     dtype=jnp.float32, cp_axis=None,
-                    fast_conv: bool = True) -> nn.Module:
+                    fast_conv: bool = True,
+                    fused_enh_blocks: bool = False) -> nn.Module:
     """define_G parity (reference models/networks.py:27-44)."""
     if net_g == "global":
         return GlobalGenerator(input_nc, output_nc, ngf, n_downsample_global,
@@ -166,7 +192,8 @@ def build_generator(net_g: str, input_nc: int, output_nc: int, ngf: int,
         return LocalEnhancer(input_nc, output_nc, ngf, n_downsample_global,
                              n_blocks_global, n_local_enhancers,
                              n_blocks_local, dtype=dtype, cp_axis=cp_axis,
-                             fast_conv=fast_conv)
+                             fast_conv=fast_conv,
+                             fused_enh_blocks=fused_enh_blocks)
     if net_g == "encoder":
         return Encoder(input_nc, output_nc, ngf, n_downsample_global, dtype=dtype)
     raise ValueError(f"generator not implemented: {net_g}")

@@ -389,15 +389,36 @@ class ConvTransposeIN(nn.Module):
         return nn.relu(instance_norm(x, cp_axis=cp))
 
 
+class _ChildConvParams(nn.Module):
+    """Creates a <name>/<inner>/{kernel,bias} subtree without computing —
+    lets fused/relaid-out kernels (ops/enhancer_pallas.py) reuse the exact
+    parameter layout of ConvIN ("Conv_0") / ConvTransposeIN
+    ("ConvTranspose_0") children."""
+    kshape: Tuple[int, ...]
+    inner: str = "Conv_0"
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.kshape, name=self.inner)()
+
+
 class ResnetBlock(nn.Module):
     """Reflect-padded 3x3 conv x2 with InstanceNorm and residual add
-    (reference models/networks.py:214-253)."""
+    (reference models/networks.py:214-253).
+
+    params_only=True creates (and returns) the two (kernel, bias) pairs under
+    the identical ConvIN_{0,1}/Conv_0 scopes without computing anything —
+    used by the fused Pallas resblock chain."""
     dim: int
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only: bool = False):
+        if params_only:
+            ks = (3, 3, self.dim, self.dim)
+            return (_ChildConvParams(ks, name="ConvIN_0")(),
+                    _ChildConvParams(ks, name="ConvIN_1")())
         h = ConvIN(self.dim, 3, reflect=1, act="relu", dtype=self.dtype,
                    cp_axis=self.cp_axis)(x)
         h = ConvIN(self.dim, 3, reflect=1, act="none", dtype=self.dtype,

@@ -52,6 +52,15 @@ class Pix2PixHDSystem:
             cfg.n_downsample_global, cfg.n_blocks_global,
             cfg.n_local_enhancers, cfg.n_blocks_local, dtype=self.dtype,
             fast_conv=cfg.fast_conv)
+        # Inference twin: identical param tree, enhancer resblocks fused in
+        # Pallas (no vjp — training keeps the XLA formulation above).
+        self.netG_infer = build_generator(
+            cfg.net_g, cfg.netg_input_nc, cfg.output_nc, cfg.ngf,
+            cfg.n_downsample_global, cfg.n_blocks_global,
+            cfg.n_local_enhancers, cfg.n_blocks_local, dtype=self.dtype,
+            fast_conv=cfg.fast_conv,
+            fused_enh_blocks=cfg.fused_enhancer) \
+            if cfg.fused_enhancer and cfg.net_g == "local" else self.netG
         self.netD = build_discriminator(
             cfg.netd_input_nc, cfg.ndf, cfg.n_layers_d,
             use_sigmoid=cfg.no_lsgan, num_d=cfg.num_d,
@@ -332,7 +341,8 @@ class Pix2PixHDSystem:
         g_in = lr_spec
         if feat_map is not None:
             g_in = jnp.concatenate([lr_spec, feat_map], axis=-1)
-        sr = self.netG.apply(params_g, g_in.astype(self.dtype)).astype(jnp.float32)
+        sr = self.netG_infer.apply(
+            params_g, g_in.astype(self.dtype)).astype(jnp.float32)
         return sr, lr_pha, lr_norm, lr_spec
 
     def sample_features(self, inst: "np.ndarray", cluster_path: str,
