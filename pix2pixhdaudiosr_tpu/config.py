@@ -157,6 +157,13 @@ class Config:
     fast_conv: bool = True  # Toeplitz lane-packing for the tiny-channel
     #                         final convs (models/layers.py conv_toeplitz_t;
     #                         exact to f32 roundoff; --no_fast_conv disables)
+    int8_trunk: bool = False  # int8-MXU compute for the coarse-trunk
+    #                           resblocks at inference (ops/quant.py
+    #                           int8_resblock_stack). The int8 dot itself
+    #                           runs 2.4x the bf16 MXU rate, but on v5e the
+    #                           in-graph quantization overheads make the
+    #                           full forward SLOWER (58.2 vs 50.7 ms at
+    #                           batch 128 — BASELINE.md); opt-in only.
     fused_enhancer: bool = False  # Pallas fused enhancer-resblock chain at
     #                               inference (ops/enhancer_pallas.py; bf16,
     #                               batch a multiple of 128 required).

@@ -38,6 +38,10 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
     print("Audio length:", ds.audio_len)
     print("#audio segments = %d" % len(ds))
 
+    # --int8_trunk additionally switches the trunk resblocks to int8-MXU
+    # dots (ops/quant.py int8_resblock_stack). Not implied by --data_type 8:
+    # on v5e the in-graph quantize/dequantize overheads outweigh the 2.4x
+    # MXU dot rate for these tensor sizes (BASELINE.md round-2b).
     system = Pix2PixHDSystem(cfg.replace(is_train=True))
     state, *_ = init_state(system, jax.random.PRNGKey(cfg.seed), batch=1)
     ckpt = CheckpointManager(cfg.expr_dir)

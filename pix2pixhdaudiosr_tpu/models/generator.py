@@ -29,6 +29,8 @@ class GlobalTrunk(nn.Module):
     n_blocks: int = 9
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
+    int8_blocks: bool = False  # int8-MXU resblock convs (ops/quant.py;
+    #                            inference serving mode for --data_type 8)
 
     @nn.compact
     def __call__(self, x):
@@ -38,8 +40,15 @@ class GlobalTrunk(nn.Module):
             x = ConvIN(self.ngf * 2 ** (i + 1), 3, stride=2, pad=1,
                        dtype=self.dtype, cp_axis=cp)(x)
         mult = 2 ** self.n_downsampling
-        for _ in range(self.n_blocks):
-            x = ResnetBlock(self.ngf * mult, dtype=self.dtype, cp_axis=cp)(x)
+        rblocks = [ResnetBlock(self.ngf * mult, dtype=self.dtype, cp_axis=cp)
+                   for _ in range(self.n_blocks)]
+        if self.int8_blocks and cp is None and self.n_blocks > 0:
+            from ..ops.quant import int8_resblock_stack
+            pairs = [blk(x, params_only=True) for blk in rblocks]
+            x = int8_resblock_stack(x, pairs)
+        else:
+            for blk in rblocks:
+                x = blk(x)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             x = ConvTransposeIN(self.ngf * mult // 2, dtype=self.dtype,
@@ -58,12 +67,14 @@ class GlobalGenerator(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
     fast_conv: bool = True
+    int8_trunk: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = GlobalTrunk(self.input_nc, self.ngf, self.n_downsampling,
                         self.n_blocks, dtype=self.dtype,
-                        cp_axis=self.cp_axis)(x)
+                        cp_axis=self.cp_axis,
+                        int8_blocks=self.int8_trunk)(x)
         # the tiny-output-channel final conv is MXU-lane-bound under the
         # plain lowering; Toeplitz time-tiling halves it (BASELINE.md)
         impl = "toeplitz" if self.fast_conv else None
@@ -86,6 +97,7 @@ class LocalEnhancer(nn.Module):
     cp_axis: Optional[str] = None
     fast_conv: bool = True
     fused_enh_blocks: bool = False  # Pallas fused resblock chain (inference)
+    int8_trunk: bool = False        # int8-MXU trunk resblocks (inference)
 
     @nn.compact
     def __call__(self, x):
@@ -98,6 +110,7 @@ class LocalEnhancer(nn.Module):
         ngf_global = self.ngf * (2 ** nle)
         out = GlobalTrunk(self.input_nc, ngf_global, self.n_downsample_global,
                           self.n_blocks_global, dtype=self.dtype, cp_axis=cp,
+                          int8_blocks=self.int8_trunk,
                           name="global")(pyramid[-1])
 
         for n in range(1, nle + 1):
@@ -182,18 +195,20 @@ def build_generator(net_g: str, input_nc: int, output_nc: int, ngf: int,
                     n_local_enhancers: int, n_blocks_local: int,
                     dtype=jnp.float32, cp_axis=None,
                     fast_conv: bool = True,
-                    fused_enh_blocks: bool = False) -> nn.Module:
+                    fused_enh_blocks: bool = False,
+                    int8_trunk: bool = False) -> nn.Module:
     """define_G parity (reference models/networks.py:27-44)."""
     if net_g == "global":
         return GlobalGenerator(input_nc, output_nc, ngf, n_downsample_global,
                                n_blocks_global, dtype=dtype, cp_axis=cp_axis,
-                               fast_conv=fast_conv)
+                               fast_conv=fast_conv, int8_trunk=int8_trunk)
     if net_g == "local":
         return LocalEnhancer(input_nc, output_nc, ngf, n_downsample_global,
                              n_blocks_global, n_local_enhancers,
                              n_blocks_local, dtype=dtype, cp_axis=cp_axis,
                              fast_conv=fast_conv,
-                             fused_enh_blocks=fused_enh_blocks)
+                             fused_enh_blocks=fused_enh_blocks,
+                             int8_trunk=int8_trunk)
     if net_g == "encoder":
         return Encoder(input_nc, output_nc, ngf, n_downsample_global, dtype=dtype)
     raise ValueError(f"generator not implemented: {net_g}")

@@ -52,15 +52,18 @@ class Pix2PixHDSystem:
             cfg.n_downsample_global, cfg.n_blocks_global,
             cfg.n_local_enhancers, cfg.n_blocks_local, dtype=self.dtype,
             fast_conv=cfg.fast_conv)
-        # Inference twin: identical param tree, enhancer resblocks fused in
-        # Pallas (no vjp — training keeps the XLA formulation above).
+        # Inference twin: identical param tree; optional Pallas-fused
+        # enhancer resblocks and/or int8-MXU trunk resblocks (no vjp —
+        # training keeps the XLA formulation above).
         self.netG_infer = build_generator(
             cfg.net_g, cfg.netg_input_nc, cfg.output_nc, cfg.ngf,
             cfg.n_downsample_global, cfg.n_blocks_global,
             cfg.n_local_enhancers, cfg.n_blocks_local, dtype=self.dtype,
             fast_conv=cfg.fast_conv,
-            fused_enh_blocks=cfg.fused_enhancer) \
-            if cfg.fused_enhancer and cfg.net_g == "local" else self.netG
+            fused_enh_blocks=cfg.fused_enhancer,
+            int8_trunk=cfg.int8_trunk) \
+            if ((cfg.fused_enhancer or cfg.int8_trunk)
+                and cfg.net_g in ("local", "global")) else self.netG
         self.netD = build_discriminator(
             cfg.netd_input_nc, cfg.ndf, cfg.n_layers_d,
             use_sigmoid=cfg.no_lsgan, num_d=cfg.num_d,
