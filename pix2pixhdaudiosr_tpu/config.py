@@ -151,6 +151,7 @@ class Config:
     compute_dtype: str = "bfloat16"
     frames_per_segment: int = BINS
     zero_opt_state: bool = False     # ZeRO-1 moment sharding (parallel/zero.py)
+    fsdp: bool = False     # FSDP/ZeRO-3 param+moment sharding (parallel/fsdp.py)
     tp_shards: int = 1    # Megatron TP over resblock channels at inference
     #                       (parallel/tp.py shard_generator_params; the 730M
     #                       default G motivates it — SURVEY.md §2.3)

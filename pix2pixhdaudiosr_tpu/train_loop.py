@@ -76,6 +76,13 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
     dataset_size = len(train_loader) * cfg.batch_size
     print("#training data = %d" % dataset_size)
     print("#evaluating data = %d" % (len(val_idx) if val_idx else 0))
+    if dataset_size == 0:
+        raise SystemExit(
+            f"no training batches: {len(train_idx)} training files after the "
+            f"{cfg.validation_split} validation split is less than one batch "
+            f"of {cfg.batch_size} (training drops partial batches, matching "
+            f"the reference's drop_last DataLoader) — add files, lower "
+            f"--batchSize, or lower --validation_split")
 
     # ---------------- model/state
     system = Pix2PixHDSystem(cfg)
@@ -91,7 +98,10 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
 
     mesh = make_data_mesh(cfg.batch_size, cfg.mesh_shape, cfg.mesh_axes)
     state = jax.device_put(state, replicated(mesh))
-    if cfg.zero_opt_state:
+    if cfg.fsdp:
+        from .parallel.fsdp import apply_fsdp
+        state = apply_fsdp(state, mesh)
+    elif cfg.zero_opt_state:
         from .parallel.zero import apply_zero
         state = apply_zero(state, mesh)
 

@@ -1,0 +1,63 @@
+"""FSDP/ZeRO-3 parameter sharding: params + moments sharded across the data
+mesh, training step numerically identical to the replicated run
+(parallel/fsdp.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pix2pixhdaudiosr_tpu.config import Config
+from pix2pixhdaudiosr_tpu.parallel import make_mesh, replicated, shard_batch
+from pix2pixhdaudiosr_tpu.parallel.fsdp import apply_fsdp, param_shardings
+from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+from pix2pixhdaudiosr_tpu.trainer import init_state, make_train_step
+
+CFG = Config(net_g="global", ngf=8, n_downsample_global=2, n_blocks_global=1,
+             ndf=8, n_layers_d=2, num_d=2, input_nc=2, output_nc=2,
+             label_nc=0, explicit_encoding=True, mask_mode="mode2",
+             compute_dtype="float32")
+
+
+def make_batch(n):
+    rng = np.random.default_rng(0)
+    return {"label": (rng.standard_normal((n, CFG.segment_length)) * 0.1).astype(np.float32),
+            "image": (rng.standard_normal((n, CFG.segment_length)) * 0.1).astype(np.float32)}
+
+
+@pytest.mark.slow
+def test_fsdp_sharded_step_matches_replicated():
+    system = Pix2PixHDSystem(CFG)
+    mesh = make_mesh((8,), ("data",))
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=8)
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    batch = shard_batch(make_batch(8), mesh)
+    rng = jax.random.PRNGKey(1)
+
+    s_rep = jax.device_put(state, replicated(mesh))
+    out_rep, losses_rep, _ = step(s_rep, batch, rng, None,
+                                  fix_global=False, with_visuals=False)
+
+    s_fsdp = apply_fsdp(jax.device_put(state, replicated(mesh)), mesh)
+    # the big conv kernels must actually be sharded
+    big = [l for l in jax.tree.leaves(s_fsdp.params["G"]) if l.ndim == 4]
+    assert any(not l.sharding.is_fully_replicated for l in big)
+    out_f, losses_f, _ = step(s_fsdp, batch, rng, None,
+                              fix_global=False, with_visuals=False)
+
+    for k in losses_rep:
+        assert float(losses_rep[k]) == pytest.approx(float(losses_f[k]),
+                                                     rel=1e-4), k
+    for a, b in zip(jax.tree.leaves(out_rep.params["G"]),
+                    jax.tree.leaves(out_f.params["G"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # updated params keep their sharding across steps (stay FSDP)
+    big2 = [l for l in jax.tree.leaves(out_f.params["G"]) if l.ndim == 4]
+    assert any(not l.sharding.is_fully_replicated for l in big2)
+
+
+def test_param_shardings_shapes():
+    system = Pix2PixHDSystem(CFG)
+    mesh = make_mesh((8,), ("data",))
+    state, *_ = init_state(system, jax.random.PRNGKey(0), batch=8)
+    sh = param_shardings(state.params, mesh)
+    assert jax.tree.structure(sh) == jax.tree.structure(state.params)
