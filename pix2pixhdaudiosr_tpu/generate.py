@@ -105,6 +105,10 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
     print("SNR_SR: %.4f" % snr_sr)
     print("SNR_LR: %.4f" % snr_lr)
     print("LSD: %.4f" % lsd)
+    # working segmental SNR (the reference's pysepm SNRseg is disabled and
+    # its eval rows carry 0; this extra line doesn't change those)
+    from .metrics import segmental_snr
+    print("SSNR: %.4f" % segmental_snr(ds.raw_audio[:n], audio[:n]))
 
     # visuals (reference generate_audio.py:62-74)
     rng = jax.random.PRNGKey(cfg.seed)

@@ -1,9 +1,11 @@
-"""Evaluation metrics: MSE, SNR, LSD.
+"""Evaluation metrics: MSE, SNR, LSD (+ optional segmental SNR).
 
 Parity: reference util/util.py:132-184 compute_matrics — sr renormalized to
 hr mean/std, SNR in dB for both sr and lr against hr, LSD from log10 power
 STFT at 2x the model's n_fft/hop/win with a kbd window. SSNR/PESQ are
-commented out in the reference and return 0 there; we return 0 likewise.
+commented out in the reference (pysepm) and return 0 there; compute_metrics
+returns 0 likewise so eval.csv rows stay comparable. A working classic
+segmental SNR is provided as `segmental_snr` for callers that want it.
 """
 
 from __future__ import annotations
@@ -44,3 +46,32 @@ def compute_metrics(hr_audio: jnp.ndarray, lr_audio: jnp.ndarray,
     sr_log = jnp.log10(sr_stft + 1e-6)
     lsd = jnp.mean(jnp.sqrt(jnp.mean((hr_log - sr_log) ** 2, axis=-2)))
     return (float(mse), float(snr_sr), float(snr_lr), 0.0, 0.0, 0.0, float(lsd))
+
+
+def segmental_snr(hr_audio, sr_audio, frame_length: int = 1536,
+                  hop: int = 768, min_db: float = -10.0,
+                  max_db: float = 35.0, active_db: float = -40.0) -> float:
+    """Classic frame-wise segmental SNR in dB (the quantity the reference's
+    disabled pysepm SNRseg would compute; reference util/util.py:147-149).
+
+    Frames of ~32 ms (1536 samples @ 48 kHz), per-frame
+    10*log10(sum(hr^2)/sum((sr-hr)^2)) clamped to [min_db, max_db], averaged
+    over active frames (reference energy above `active_db` dBFS) so silence
+    does not dominate. Pure numpy, host-side."""
+    hr = np.asarray(hr_audio, np.float32).reshape(-1)
+    sr = np.asarray(sr_audio, np.float32).reshape(-1)
+    n = min(hr.size, sr.size)
+    hr, sr = hr[:n], sr[:n]
+    if n < frame_length:
+        return 0.0
+    starts = np.arange(0, n - frame_length + 1, hop)
+    idx = starts[:, None] + np.arange(frame_length)[None]
+    hf, sf = hr[idx], sr[idx]
+    sig = np.sum(hf * hf, axis=1)
+    err = np.sum((sf - hf) ** 2, axis=1)
+    peak = max(np.max(np.abs(hr)), 1e-9)
+    active = 10 * np.log10(sig / (frame_length * peak * peak) + 1e-12) > active_db
+    if not active.any():
+        return 0.0
+    snr = 10 * np.log10((sig + 1e-12) / (err + 1e-12))
+    return float(np.mean(np.clip(snr[active], min_db, max_db)))

@@ -4,6 +4,7 @@ perfect reconstruction are ideal."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pix2pixhdaudiosr_tpu.metrics import compute_metrics
 from pix2pixhdaudiosr_tpu.ops.audio import resample, resample_np
@@ -61,3 +62,41 @@ def test_resample_preserves_tone(rng_np):
     want = np.sin(2 * np.pi * f0 * t8)
     # interior only (filter edge effects)
     np.testing.assert_allclose(y[200:-200], want[200:-200], atol=2e-3)
+
+
+def test_segmental_snr_properties(rng_np):
+    from pix2pixhdaudiosr_tpu.metrics import segmental_snr
+    t = np.arange(48000) / 48000
+    hr = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    # identical signal clamps at the 35 dB ceiling
+    assert segmental_snr(hr, hr) == pytest.approx(35.0)
+    # mild noise scores high; heavy noise scores low; ordering holds
+    mild = hr + 0.005 * rng_np.standard_normal(hr.size).astype(np.float32)
+    heavy = hr + 0.5 * rng_np.standard_normal(hr.size).astype(np.float32)
+    s_mild = segmental_snr(hr, mild)
+    s_heavy = segmental_snr(hr, heavy)
+    assert s_mild > 25 > s_heavy > -10
+    # silence-padded signal: silent frames are excluded, score unchanged-ish
+    hr_pad = np.concatenate([np.zeros(48000, np.float32), hr])
+    mild_pad = np.concatenate([np.zeros(48000, np.float32), mild])
+    assert segmental_snr(hr_pad, mild_pad) == pytest.approx(s_mild, abs=1.0)
+
+
+def test_train_loop_empty_split_message(tmp_path, rng_np):
+    """Fewer post-split files than one batch -> actionable SystemExit."""
+    from pix2pixhdaudiosr_tpu.config import Config
+    from pix2pixhdaudiosr_tpu import train_loop
+    from pix2pixhdaudiosr_tpu.data import write_wav
+    d = tmp_path / "wavs"
+    d.mkdir()
+    for i in range(3):
+        write_wav(str(d / f"a{i}.wav"),
+                  rng_np.standard_normal(40000).astype(np.float32) * 0.1, 48000)
+    cfg = Config(dataroot=str(d), checkpoints_dir=str(tmp_path / "ck"),
+                 name="t", batch_size=8, validation_split=0.0,
+                 net_g="global", ngf=4, n_downsample_global=1,
+                 n_blocks_global=1, input_nc=2, output_nc=2, label_nc=0,
+                 no_instance=True, explicit_encoding=True, mask_mode="mode2",
+                 compute_dtype="float32")
+    with pytest.raises(SystemExit, match="no training batches"):
+        train_loop.main(cfg=cfg)
