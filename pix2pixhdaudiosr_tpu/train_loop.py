@@ -196,6 +196,18 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
 
             if total_steps % print_freq == print_delta:
                 errors = {k: float(v) for k, v in losses.items()}
+                # divergence guard (checked at print cadence so no extra
+                # device syncs): a non-finite loss means every subsequent
+                # step is garbage — save a post-mortem checkpoint and stop
+                # with the last good 'latest' still on disk
+                if not all(math.isfinite(v) for v in errors.values()):
+                    ckpt.save(state, "diverged")
+                    raise SystemExit(
+                        f"non-finite losses at epoch {epoch} iter "
+                        f"{epoch_iter}: {errors} — state saved under the "
+                        f"'diverged' tag; resume from 'latest' (last good "
+                        f"save) with --continue_train, typically with a "
+                        f"lower --lr")
                 t = (time.time() - iter_start_time) / print_freq
                 visualizer.print_current_errors(epoch, epoch_iter, errors, t)
                 visualizer.plot_current_errors(errors, total_steps)
