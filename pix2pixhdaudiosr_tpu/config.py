@@ -158,6 +158,10 @@ class Config:
     fast_conv: bool = True  # Toeplitz lane-packing for the tiny-channel
     #                         final convs (models/layers.py conv_toeplitz_t;
     #                         exact to f32 roundoff; --no_fast_conv disables)
+    torch_deconv: bool = False  # bit-exact torch ConvTranspose2d semantics
+    #                             for checkpoints imported from the reference
+    #                             (tools/import_torch_checkpoint.py; flax's
+    #                             SAME deconv crop is one pixel off torch's)
     int8_trunk: bool = False  # int8-MXU compute for the coarse-trunk
     #                           resblocks at inference (ops/quant.py
     #                           int8_resblock_stack). The int8 dot itself

@@ -31,6 +31,7 @@ class GlobalTrunk(nn.Module):
     cp_axis: Optional[str] = None
     int8_blocks: bool = False  # int8-MXU resblock convs (ops/quant.py;
     #                            inference serving mode for --data_type 8)
+    deconv_impl: Optional[str] = None  # "torch": imported-checkpoint compat
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +53,7 @@ class GlobalTrunk(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             x = ConvTransposeIN(self.ngf * mult // 2, dtype=self.dtype,
-                                cp_axis=cp)(x)
+                                cp_axis=cp, impl=self.deconv_impl)(x)
         return x
 
 
@@ -68,13 +69,15 @@ class GlobalGenerator(nn.Module):
     cp_axis: Optional[str] = None
     fast_conv: bool = True
     int8_trunk: bool = False
+    deconv_impl: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         x = GlobalTrunk(self.input_nc, self.ngf, self.n_downsampling,
                         self.n_blocks, dtype=self.dtype,
                         cp_axis=self.cp_axis,
-                        int8_blocks=self.int8_trunk)(x)
+                        int8_blocks=self.int8_trunk,
+                        deconv_impl=self.deconv_impl)(x)
         # the tiny-output-channel final conv is MXU-lane-bound under the
         # plain lowering; Toeplitz time-tiling halves it (BASELINE.md)
         impl = "toeplitz" if self.fast_conv else None
@@ -98,6 +101,7 @@ class LocalEnhancer(nn.Module):
     fast_conv: bool = True
     fused_enh_blocks: bool = False  # Pallas fused resblock chain (inference)
     int8_trunk: bool = False        # int8-MXU trunk resblocks (inference)
+    deconv_impl: Optional[str] = None  # "torch": imported-checkpoint compat
 
     @nn.compact
     def __call__(self, x):
@@ -111,6 +115,7 @@ class LocalEnhancer(nn.Module):
         out = GlobalTrunk(self.input_nc, ngf_global, self.n_downsample_global,
                           self.n_blocks_global, dtype=self.dtype, cp_axis=cp,
                           int8_blocks=self.int8_trunk,
+                          deconv_impl=self.deconv_impl,
                           name="global")(pyramid[-1])
 
         for n in range(1, nle + 1):
@@ -139,6 +144,7 @@ class LocalEnhancer(nn.Module):
                 pairs = [blk(d_raw, params_only=True) for blk in blocks]
                 h = enhancer_pallas.fused_enhancer_section(d_raw, out, pairs)
                 h = ConvTransposeIN(ngf_n, dtype=self.dtype, cp_axis=cp,
+                                    impl=self.deconv_impl,
                                     name=f"enh{n}_up")(h)
             else:
                 down = ConvIN(ngf_n * 2, 3, stride=2, pad=1, dtype=self.dtype,
@@ -147,6 +153,7 @@ class LocalEnhancer(nn.Module):
                 for blk in blocks:
                     h = blk(h)
                 h = ConvTransposeIN(ngf_n, dtype=self.dtype, cp_axis=cp,
+                                    impl=self.deconv_impl,
                                     name=f"enh{n}_up")(h)
             if n == nle:
                 impl = "toeplitz" if self.fast_conv else None
@@ -196,19 +203,22 @@ def build_generator(net_g: str, input_nc: int, output_nc: int, ngf: int,
                     dtype=jnp.float32, cp_axis=None,
                     fast_conv: bool = True,
                     fused_enh_blocks: bool = False,
-                    int8_trunk: bool = False) -> nn.Module:
+                    int8_trunk: bool = False,
+                    deconv_impl=None) -> nn.Module:
     """define_G parity (reference models/networks.py:27-44)."""
     if net_g == "global":
         return GlobalGenerator(input_nc, output_nc, ngf, n_downsample_global,
                                n_blocks_global, dtype=dtype, cp_axis=cp_axis,
-                               fast_conv=fast_conv, int8_trunk=int8_trunk)
+                               fast_conv=fast_conv, int8_trunk=int8_trunk,
+                               deconv_impl=deconv_impl)
     if net_g == "local":
         return LocalEnhancer(input_nc, output_nc, ngf, n_downsample_global,
                              n_blocks_global, n_local_enhancers,
                              n_blocks_local, dtype=dtype, cp_axis=cp_axis,
                              fast_conv=fast_conv,
                              fused_enh_blocks=fused_enh_blocks,
-                             int8_trunk=int8_trunk)
+                             int8_trunk=int8_trunk,
+                             deconv_impl=deconv_impl)
     if net_g == "encoder":
         return Encoder(input_nc, output_nc, ngf, n_downsample_global, dtype=dtype)
     raise ValueError(f"generator not implemented: {net_g}")

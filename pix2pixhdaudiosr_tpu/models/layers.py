@@ -364,15 +364,34 @@ class ConvTransposeIN(nn.Module):
     exact 2x upsampling -> InstanceNorm -> ReLU
     (reference models/networks.py:155, :205). CP: exchange one input frame per
     side, upsample locally, crop two output frames per side (a zero halo frame
-    contributes exactly like the global SAME zero padding)."""
+    contributes exactly like the global SAME zero padding).
+
+    impl="torch": bit-exact torch ConvTranspose2d(3, s2, p1, op1) semantics —
+    VALID transposed conv sliced [1:2n+1] (flax's SAME crop selects a window
+    one pixel off torch's; the two are shift-isomorphic for from-scratch
+    training but NOT weight-compatible). Used with --torch_deconv for
+    checkpoints imported from the reference
+    (tools/import_torch_checkpoint.py), which stores kernels pre-flipped."""
     features: int
     dtype: jnp.dtype = jnp.float32
     cp_axis: Optional[str] = None
-    impl: Optional[str] = None   # "subpixel": see conv_subpixel_transpose
+    impl: Optional[str] = None   # "subpixel" | "torch"
 
     @nn.compact
     def __call__(self, x):
         cp = self.cp_axis
+        if self.impl == "torch":
+            if cp is not None:
+                raise ValueError("impl='torch' deconv does not support "
+                                 "context parallelism")
+            k, b = _ConvParams((3, 3, x.shape[-1], self.features),
+                               name="ConvTranspose_0")()
+            B, H, W, _ = x.shape
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype), k.astype(self.dtype), (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y[:, 1:1 + 2 * H, 1:1 + 2 * W, :] + b.astype(y.dtype)
+            return nn.relu(instance_norm(y))
         if self.impl == "subpixel" and cp is None:
             k, b = _ConvParams((3, 3, x.shape[-1], self.features),
                                name="ConvTranspose_0")()

@@ -51,7 +51,8 @@ class Pix2PixHDSystem:
             cfg.net_g, cfg.netg_input_nc, cfg.output_nc, cfg.ngf,
             cfg.n_downsample_global, cfg.n_blocks_global,
             cfg.n_local_enhancers, cfg.n_blocks_local, dtype=self.dtype,
-            fast_conv=cfg.fast_conv)
+            fast_conv=cfg.fast_conv,
+            deconv_impl="torch" if cfg.torch_deconv else None)
         # Inference twin: identical param tree; optional Pallas-fused
         # enhancer resblocks and/or int8-MXU trunk resblocks (no vjp —
         # training keeps the XLA formulation above).
@@ -61,7 +62,8 @@ class Pix2PixHDSystem:
             cfg.n_local_enhancers, cfg.n_blocks_local, dtype=self.dtype,
             fast_conv=cfg.fast_conv,
             fused_enh_blocks=cfg.fused_enhancer,
-            int8_trunk=cfg.int8_trunk) \
+            int8_trunk=cfg.int8_trunk,
+            deconv_impl="torch" if cfg.torch_deconv else None) \
             if ((cfg.fused_enhancer or cfg.int8_trunk)
                 and cfg.net_g in ("local", "global")) else self.netG
         self.netD = build_discriminator(

@@ -14,6 +14,7 @@ reference-style warm starts across architectures).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Optional, Tuple
 
@@ -24,9 +25,42 @@ import orbax.checkpoint as ocp
 
 def merge_matching(target, saved):
     """Tolerant merge: take the saved leaf wherever the path exists in both
-    trees and shapes match (reference models/base_model.py:62-89)."""
+    trees and shapes match (reference models/base_model.py:62-89).
+
+    `saved` comes from a raw Orbax restore (nested dicts; tuples serialized
+    either as sequences or as {"0": ...} dicts), while `target` is a live
+    pytree that may contain dataclasses (TrainState), (named)tuples (optax
+    states) and lists — every container kind must be descended, else the
+    merge silently returns the fresh target. That exact bug shipped in
+    round 1: the top-level TrainState never matched `isinstance(t, dict)`,
+    so --continue_train/--load_pretrain/generate restored NOTHING while the
+    roundtrip tests compared zero-initialized bias leaves that are equal in
+    any init (regression-tested in tests/test_checkpoint.py)."""
+
+    def _seq(t, items):
+        vals = [_merge(a, b) for a, b in zip(t, items)]
+        if hasattr(t, "_fields"):              # namedtuple (optax states)
+            return type(t)(*vals)
+        return type(t)(vals) if isinstance(t, list) else tuple(vals)
 
     def _merge(t, s):
+        if dataclasses.is_dataclass(t) and not isinstance(t, type) \
+                and isinstance(s, dict):
+            kw = {f.name: _merge(getattr(t, f.name), s[f.name])
+                  for f in dataclasses.fields(t) if f.name in s}
+            try:
+                return t.replace(**kw)         # flax.struct.PyTreeNode
+            except AttributeError:
+                return dataclasses.replace(t, **kw)
+        if isinstance(t, (tuple, list)):
+            if isinstance(s, (tuple, list)) and len(s) == len(t):
+                return _seq(t, s)
+            if isinstance(s, dict):
+                if all(str(i) in s for i in range(len(t))):
+                    return _seq(t, [s[str(i)] for i in range(len(t))])
+                if hasattr(t, "_fields") and all(f in s for f in t._fields):
+                    return _seq(t, [s[f] for f in t._fields])
+            return t
         if isinstance(t, dict) and isinstance(s, dict):
             return {k: _merge(t[k], s[k]) if k in s else t[k] for k in t}
         t_shape = getattr(t, "shape", None)

@@ -68,3 +68,41 @@ def test_iter_cursor(tmp_path):
     assert cm.load_iter() == (1, 0)
     cm.save_iter(7, 123)
     assert cm.load_iter() == (7, 123)
+
+
+def test_restore_actually_loads_weights(tmp_path):
+    """Regression: restoring into a DIFFERENT init must take the checkpoint's
+    nonzero kernels (round-1 merge never descended into the TrainState
+    dataclass, silently returning the fresh target — biases being zero in
+    every init masked it in the roundtrip test above)."""
+    system = Pix2PixHDSystem(CFG)
+    s_state, *_ = init_state(system, jax.random.PRNGKey(0))
+    cm = CheckpointManager(str(tmp_path / "expr"))
+    cm.save(s_state, "latest")
+
+    f_state, *_ = init_state(system, jax.random.PRNGKey(1))
+    merged = cm.restore("latest", target=jax.device_get(f_state))
+
+    def kernels(tree):
+        out = {}
+        def walk(d, p):
+            if isinstance(d, dict):
+                for k, v in d.items():
+                    walk(v, p + "/" + k)
+            elif p.endswith("kernel"):
+                out[p] = np.asarray(d)
+        walk(tree, "")
+        return out
+
+    saved_k = kernels(s_state.params["G"])
+    fresh_k = kernels(f_state.params["G"])
+    merged_k = kernels(merged.params["G"])
+    assert saved_k and any(
+        not np.array_equal(saved_k[p], fresh_k[p]) for p in saved_k)
+    for p in saved_k:
+        np.testing.assert_array_equal(merged_k[p], saved_k[p])
+    # optimizer state (optax namedtuples nested in tuples) restored too
+    for a, b in zip(jax.tree.leaves(merged.opt_g),
+                    jax.tree.leaves(s_state.opt_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(merged.step) == int(s_state.step)
