@@ -106,3 +106,52 @@ def test_restore_actually_loads_weights(tmp_path):
                     jax.tree.leaves(s_state.opt_g)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(merged.step) == int(s_state.step)
+
+
+def test_continue_train_carries_weights(tmp_path):
+    """e2e through train_loop.main: a resumed run must start from the saved
+    weights, not a fresh init (the round-1 restore no-op would have passed
+    any 'Resuming from epoch' string check)."""
+    from pix2pixhdaudiosr_tpu import train_loop
+    from pix2pixhdaudiosr_tpu.data import write_wav
+    rng = np.random.default_rng(3)
+    d = tmp_path / "wavs"
+    d.mkdir()
+    for i in range(4):
+        write_wav(str(d / f"a{i}.wav"),
+                  rng.standard_normal(40000).astype(np.float32) * 0.1, 48000)
+    base = dict(dataroot=str(d), checkpoints_dir=str(tmp_path / "ck"),
+                name="t", batch_size=2, validation_split=0.0,
+                net_g="global", ngf=4, ndf=4, n_layers_d=2, num_d=1,
+                n_downsample_global=1, n_blocks_global=1, input_nc=2,
+                output_nc=2, label_nc=0, no_instance=True,
+                explicit_encoding=True, mask_mode="mode2",
+                compute_dtype="float32", niter=1, niter_decay=0,
+                save_epoch_freq=1, save_latest_freq=10**9,
+                display_freq=10**9, eval_freq=10**9, print_freq=2)
+    train_loop.main(cfg=Config(**base))
+    cm = CheckpointManager(str(tmp_path / "ck" / "t"))
+    saved = cm.restore("latest", target=None)
+
+    # resume for one more epoch; the loaded weights must equal the save
+    import pix2pixhdaudiosr_tpu.utils.checkpoint as ckpt_mod
+    seen = {}
+    orig = ckpt_mod.CheckpointManager.restore
+
+    def spy(self, tag="latest", target=None, expr_dir=None):
+        out = orig(self, tag, target=target, expr_dir=expr_dir)
+        if target is not None and not seen:
+            seen["k"] = np.asarray(
+                [l for l in jax.tree.leaves(out.params["G"]) if l.ndim == 4][0])
+        return out
+
+    ckpt_mod.CheckpointManager.restore = spy
+    try:
+        train_loop.main(cfg=Config(**{**base, "niter": 2,
+                                      "continue_train": True}))
+    finally:
+        ckpt_mod.CheckpointManager.restore = orig
+    want = np.asarray(
+        [l for l in jax.tree.leaves(saved["params"]["G"])
+         if getattr(l, "ndim", 0) == 4][0])
+    np.testing.assert_array_equal(seen["k"], want)
