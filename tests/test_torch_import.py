@@ -179,3 +179,80 @@ def test_import_tool_cli(tmp_path, rng_np):
     head = restored.params["G"]["params"]["GlobalTrunk_0"]["ConvIN_0"]["Conv_0"]["kernel"]
     want = np.transpose(tm.model[1].weight.detach().numpy(), (2, 3, 1, 0))
     np.testing.assert_allclose(np.asarray(head), want, atol=1e-6)
+
+
+class TorchNLayerD(nn.Module):
+    """Reference NLayerDiscriminator spec (models/networks.py:334-383),
+    getIntermFeat variant."""
+    def __init__(self, input_nc, ndf, n_layers):
+        super().__init__()
+        self.n_layers = n_layers
+        seq = [[nn.Conv2d(input_nc, ndf, 4, stride=2, padding=2),
+                nn.LeakyReLU(0.2, True)]]
+        nf = ndf
+        for _ in range(1, n_layers):
+            prev, nf = nf, min(nf * 2, 512)
+            seq += [[nn.Conv2d(prev, nf, 4, stride=2, padding=2), _norm(nf),
+                     nn.LeakyReLU(0.2, True)]]
+        prev, nf = nf, min(nf * 2, 512)
+        seq += [[nn.Conv2d(prev, nf, 4, stride=1, padding=2), _norm(nf),
+                 nn.LeakyReLU(0.2, True)]]
+        seq += [[nn.Conv2d(nf, 1, 4, stride=1, padding=2)]]
+        for n, layers in enumerate(seq):
+            setattr(self, f"model{n}", nn.Sequential(*layers))
+
+    def forward(self, x):
+        res = [x]
+        for n in range(self.n_layers + 2):
+            res.append(getattr(self, f"model{n}")(res[-1]))
+        return res[1:]
+
+
+class TorchMultiD(nn.Module):
+    def __init__(self, input_nc, ndf, n_layers, num_d):
+        super().__init__()
+        self.num_d, self.n_layers = num_d, n_layers
+        for i in range(num_d):
+            d = TorchNLayerD(input_nc, ndf, n_layers)
+            for j in range(n_layers + 2):
+                setattr(self, f"scale{i}_layer{j}", getattr(d, f"model{j}"))
+        self.downsample = nn.AvgPool2d(3, stride=2, padding=1,
+                                       count_include_pad=False)
+
+    def forward(self, x):
+        result = []
+        for i in range(self.num_d):
+            mods = [getattr(self, f"scale{self.num_d - 1 - i}_layer{j}")
+                    for j in range(self.n_layers + 2)]
+            h = x
+            feats = []
+            for m in mods:
+                h = m(h)
+                feats.append(h)
+            result.append(feats)
+            if i != self.num_d - 1:
+                x = self.downsample(x)
+        return result
+
+
+def test_import_discriminator(rng_np):
+    from pix2pixhdaudiosr_tpu.models.discriminator import build_discriminator
+    from tools.import_torch_checkpoint import convert_discriminator_state_dict
+
+    torch.manual_seed(3)
+    tm = TorchMultiD(4, ndf=8, n_layers=3, num_d=2)
+    fm = build_discriminator(4, 8, 3, use_sigmoid=False, num_d=2,
+                             get_interm_feat=True)
+    x = (rng_np.standard_normal((2, 32, 32, 4)) * 0.5).astype(np.float32)
+    tm.eval()
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = {"params": convert_discriminator_state_dict(sd, 3, 2, True)}
+    got = fm.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x))
+    assert len(got) == len(want) == 2
+    for gs, ws in zip(got, want):
+        for g, w in zip(gs, ws):
+            wn = np.transpose(w.numpy(), (0, 2, 3, 1))
+            np.testing.assert_allclose(np.asarray(g, np.float32), wn,
+                                       atol=2e-4, rtol=1e-3)

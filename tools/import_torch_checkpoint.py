@@ -109,6 +109,26 @@ def convert_generator_state_dict(sd, net_g: str, n_downsample_global: int,
     return out
 
 
+def convert_discriminator_state_dict(sd, n_layers: int = 3, num_d: int = 2,
+                                     get_interm_feat: bool = True):
+    """torch MultiscaleDiscriminator state_dict -> flax params dict
+    (reference models/networks.py:291-331: `scale{i}_layer{j}.0` keys with
+    getIntermFeat — the training default — or flat `layer{i}.<seq idx>`
+    Sequentials, convs at stream index 0 then 3j-1)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out = {}
+    for i in range(num_d):
+        scale = {}
+        for j in range(n_layers + 2):
+            if get_interm_feat:
+                key = f"scale{i}_layer{j}.0"
+            else:
+                key = f"layer{i}.{0 if j == 0 else 3 * j - 1}"
+            scale[f"ConvIN_{j}"] = _convin(sd, key)
+        out[f"scale{i}"] = scale
+    return out
+
+
 def main(argv=None):
     import argparse
 
@@ -121,6 +141,8 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("--pth", required=True, help="latest_net_G.pth path")
+    ap.add_argument("--pth_d", default=None,
+                    help="optional latest_net_D.pth (to continue training)")
     args, rest = ap.parse_known_args(argv)
 
     import torch  # CPU-only torch is available in this image
@@ -144,8 +166,20 @@ def main(argv=None):
     got = jax.tree.map(lambda a: a.shape, params_g)
     if want != got:
         raise SystemExit(f"converted tree mismatch:\nwant {want}\ngot {got}")
-    state = state.replace(params={**state.params, "G": jax.tree.map(
-        __import__("jax").numpy.asarray, params_g)})
+    new_params = {**state.params, "G": jax.tree.map(jax.numpy.asarray,
+                                                    params_g)}
+    if args.pth_d:
+        sd_d = {k: v.numpy() for k, v in
+                torch.load(args.pth_d, map_location="cpu").items()}
+        params_d = {"params": convert_discriminator_state_dict(
+            sd_d, cfg.n_layers_d, cfg.num_d,
+            get_interm_feat=not cfg.no_gan_feat_loss)}
+        want_d = jax.tree.map(lambda a: a.shape, state.params["D"])
+        got_d = jax.tree.map(lambda a: a.shape, params_d)
+        if want_d != got_d:
+            raise SystemExit(f"D tree mismatch:\nwant {want_d}\ngot {got_d}")
+        new_params["D"] = jax.tree.map(jax.numpy.asarray, params_d)
+    state = state.replace(params=new_params)
     ckpt = CheckpointManager(cfg.expr_dir)
     ckpt.save(state, "latest")
     print(f"imported {args.pth} -> {cfg.expr_dir}/latest_state "
