@@ -45,3 +45,15 @@ python eval_matric.py --name eval_hifitts_vctk --dataroot "$VCTK/test.csv" \
 python generate_audio.py --name gen_vctk --dataroot "$VCTK/wav48/p225/p225_002.wav" \
   --load_pretrain ./checkpoints/hifitts_vctk_phaloss_G3L2_48ngf_6x \
   $COMMON --batchSize 4 --serial_batches --phase test --validation_split 0
+
+# ---- Ablation ladder (reference test/ablation_study.sh): warm-start each
+# HiFi-TTS pretrain and finetune at 2x (lr 24 kHz) across generator depths.
+for CONF in "G7L3:7:3:64" "G5L3:5:3:64" "G3L2:3:2:64" "G3L2_48ngf:3:2:48"; do
+  IFS=: read -r TAG GB LB NGF <<< "$CONF"
+  python train.py --name "hifitts_vctk_pha2_${TAG}_2x" \
+    --dataroot "$VCTK/train.csv" \
+    --load_pretrain "./checkpoints/mdct_hifitts_pha2_${TAG}" \
+    $COMMON --batchSize 32 --niter 20 --niter_decay 10 \
+    --n_blocks_global "$GB" --n_blocks_local "$LB" --ngf "$NGF" \
+    --lr_sampling_rate 24000 --save_epoch_freq 30
+done
