@@ -86,12 +86,15 @@ class NormConv(nn.Module):
         dn = jax.lax.conv_dimension_numbers(
             x.shape, w.shape,
             ("NHC", "HIO", "NHC") if nd == 1 else ("NHWC", "HWIO", "NHWC"))
+        # no explicit preferred_element_type: its f32 output makes the conv's
+        # VJP emit mixed f32/bf16 gradient convs (TypeError under bf16
+        # training); XLA accumulates in f32 internally either way, matching
+        # flax nn.Conv(dtype=...) semantics
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype), strides, self.padding,
             dimension_numbers=dn,
-            feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32)
-        return (y + bias).astype(self.dtype)
+            feature_group_count=self.feature_group_count)
+        return y + bias.astype(y.dtype)
 
 
 class ScaleDiscriminator(nn.Module):

@@ -134,3 +134,16 @@ def test_hifigan_norm_scheme():
     assert not has_g(p["msd0"])
     assert has_g(p["msd1"]) and has_g(p["msd2"])
     assert has_g(p["mpd2"]) and has_g(p["mpd11"])
+
+
+@pytest.mark.slow
+def test_optional_ds_bf16_step():
+    """Regression: bf16 training with both optional Ds. The weight-normed
+    conv's explicit preferred_element_type=f32 made its VJP emit mixed
+    f32/bf16 gradient convs (TypeError) — only the f32 tests existed, so the
+    production bf16 default was broken for --use_time_D/--use_hifigan_D."""
+    cfg = Config(use_time_d=True, use_hifigan_d=True,
+                 **{**BASE, "compute_dtype": "bfloat16"})
+    _, _, new_state, losses = run_one_step(cfg)
+    assert {"D_fake_t", "D_real_t", "G_GAN_t"} <= set(losses)
+    assert all(np.isfinite(float(v)) for v in losses.values())
