@@ -65,12 +65,25 @@ def main(argv=None):
     except Exception as e:
         print("memory analysis unavailable:", e)
 
-    out = compiled(params, audio, rng)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = compiled(params, audio, rng)
-    _ = np.asarray(out[:1, :1, :1])
-    print(f"exec: {(time.perf_counter() - t0) / 5 * 1000:.2f} ms/call @ batch {args.batch}")
+    # relay-safe timing (CLAUDE.md): block_until_ready does not fence AOT
+    # executions on this backend, and ad-hoc sync ops (slices/np.asarray)
+    # would remote-compile INSIDE the timed region — fetch a pre-compiled
+    # derived scalar instead and difference two run lengths to cancel the
+    # dispatch constant.
+    sumjit = jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))
+    float(sumjit(compiled(params, audio, rng)))   # warm both programs
+
+    def run(m):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(m):
+            o = compiled(params, audio, rng)
+        float(sumjit(o))
+        return time.perf_counter() - t0
+
+    run(2)
+    t3, tn = run(3), run(13)
+    print(f"exec: {(tn - t3) / 10 * 1000:.2f} ms/call @ batch {args.batch}")
 
     if args.out:
         try:
