@@ -131,7 +131,8 @@ class LocalEnhancer(nn.Module):
                      and self.n_blocks_local > 0
                      and jnp.dtype(self.dtype) == jnp.bfloat16
                      and enhancer_pallas.supports(
-                         (bi, hi // 2, wi // 2, ngf_n * 2), self.dtype))
+                         (bi, (hi + 1) // 2, (wi + 1) // 2, ngf_n * 2),
+                         self.dtype))
             if fused:
                 # lane-bound 3x3 convs + InstanceNorm + entry/residual adds
                 # fused in Pallas (ops/enhancer_pallas.py; ~2x the in-graph

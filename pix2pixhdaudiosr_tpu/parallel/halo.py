@@ -81,7 +81,8 @@ def make_cp_generator(system, mesh: Mesh, axis: str = "data") -> Callable:
                                cfg.ngf, cfg.n_downsample_global,
                                cfg.n_blocks_global, cfg.n_local_enhancers,
                                cfg.n_blocks_local, dtype=system.dtype,
-                               cp_axis=axis)
+                               cp_axis=axis, fast_conv=cfg.fast_conv,
+                               deconv_impl="torch" if cfg.torch_deconv else None)
 
     def local_apply(params, x_local):
         out = net_g_cp.apply(params, x_local.astype(system.dtype))

@@ -146,7 +146,7 @@ def main(argv=None):
     args, rest = ap.parse_known_args(argv)
 
     import torch  # CPU-only torch is available in this image
-    sd = torch.load(args.pth, map_location="cpu")
+    sd = torch.load(args.pth, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
 
     cfg = parse_config(rest, is_train=True)
@@ -170,7 +170,7 @@ def main(argv=None):
                                                     params_g)}
     if args.pth_d:
         sd_d = {k: v.numpy() for k, v in
-                torch.load(args.pth_d, map_location="cpu").items()}
+                torch.load(args.pth_d, map_location="cpu", weights_only=True).items()}
         params_d = {"params": convert_discriminator_state_dict(
             sd_d, cfg.n_layers_d, cfg.num_d,
             get_interm_feat=not cfg.no_gan_feat_loss)}
