@@ -2,10 +2,14 @@
 
 Parity: reference util/util.py:132-184 compute_matrics — sr renormalized to
 hr mean/std, SNR in dB for both sr and lr against hr, LSD from log10 power
-STFT at 2x the model's n_fft/hop/win with a kbd window. SSNR/PESQ are
-commented out in the reference (pysepm) and return 0 there; compute_metrics
-returns 0 likewise so eval.csv rows stay comparable. A working classic
-segmental SNR is provided as `segmental_snr` for callers that want it.
+STFT at 2x the model's n_fft/hop/win with a kbd window.
+
+Deliberate improvement over the reference: SSNR and PESQ are commented out
+there (pysepm, util/util.py:152-175) and its eval.csv snr_seg/pesq columns
+are always 0. Here `compute_metrics` fills the two SSNR slots with the real
+`segmental_snr` (sr and lr against hr, computed on the same renormalized sr
+the other metrics use) so eval.csv carries a measured value; PESQ stays 0
+(see PARITY.md). Column order and count are unchanged.
 """
 
 from __future__ import annotations
@@ -23,7 +27,9 @@ def compute_metrics(hr_audio: jnp.ndarray, lr_audio: jnp.ndarray,
                     sr_audio: jnp.ndarray, n_fft: int, hop_length: int,
                     win_length: int, center: bool = True
                     ) -> Tuple[float, float, float, float, float, float, float]:
-    """Returns (mse, snr_sr, snr_lr, 0, 0, 0, lsd) like the reference."""
+    """Returns (mse, snr_sr, snr_lr, ssnr_sr, ssnr_lr, 0, lsd) — reference
+    shape (util/util.py:184) with the two dead SSNR slots filled by the
+    working `segmental_snr` (the pesq slot stays 0)."""
     hr = hr_audio.astype(jnp.float32)
     lr = lr_audio.astype(jnp.float32)
     sr = sr_audio.astype(jnp.float32)
@@ -45,7 +51,10 @@ def compute_metrics(hr_audio: jnp.ndarray, lr_audio: jnp.ndarray,
     hr_log = jnp.log10(hr_stft + 1e-6)
     sr_log = jnp.log10(sr_stft + 1e-6)
     lsd = jnp.mean(jnp.sqrt(jnp.mean((hr_log - sr_log) ** 2, axis=-2)))
-    return (float(mse), float(snr_sr), float(snr_lr), 0.0, 0.0, 0.0, float(lsd))
+    ssnr_sr = segmental_snr(hr, sr)
+    ssnr_lr = segmental_snr(hr, lr)
+    return (float(mse), float(snr_sr), float(snr_lr), ssnr_sr, ssnr_lr,
+            0.0, float(lsd))
 
 
 def segmental_snr(hr_audio, sr_audio, frame_length: int = 1536,

@@ -143,7 +143,9 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
                 cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center)
             errs.append(m)
             snrs.append((s_lr, s_sr))
-            snr_segs.append((ss_lr, ss_sr))
+            # real measured SSNR of sr (the reference's column is all-zero —
+            # pysepm disabled; see metrics.py docstring / PARITY.md)
+            snr_segs.append(ss_sr)
             pesqs.append(pesq)
             lsds.append(lsd)
             if j >= cfg.eval_size:

@@ -35,7 +35,7 @@ def test_degraded_sr_scores_between(rng_np):
     lr = resample_np(resample_np(hr, fs, 8000), 8000, fs)
     lr = np.pad(lr, (0, max(0, len(hr) - len(lr))))[: len(hr)]
     sr = 0.5 * hr + 0.5 * lr      # halfway reconstruction
-    mse, snr_sr, snr_lr, *_, lsd_sr = compute_metrics(
+    mse, snr_sr, snr_lr, ssnr_sr, ssnr_lr, pesq, lsd_sr = compute_metrics(
         jnp.asarray(hr), jnp.asarray(lr), jnp.asarray(sr),
         n_fft=512, hop_length=256, win_length=512)
     _, _, _, *_, lsd_lr = compute_metrics(
@@ -43,6 +43,10 @@ def test_degraded_sr_scores_between(rng_np):
         n_fft=512, hop_length=256, win_length=512)
     assert snr_sr > snr_lr
     assert lsd_sr < lsd_lr
+    # the SSNR slots are real (reference returns 0 there — pysepm disabled)
+    assert ssnr_sr != 0.0 and ssnr_lr != 0.0
+    assert ssnr_sr > ssnr_lr
+    assert pesq == 0.0
 
 
 def test_resample_device_matches_host(rng_np):
