@@ -155,6 +155,11 @@ class Config:
     tp_shards: int = 1    # Megatron TP over resblock channels at inference
     #                       (parallel/tp.py shard_generator_params; the 730M
     #                       default G motivates it — SURVEY.md §2.3)
+    cp_shards: int = 1    # frame-axis context-parallel SEAMLESS long-audio
+    #                       inference (parallel/halo.py): the whole file is
+    #                       one spectrogram sharded over frames, vs the
+    #                       reference's independent chunks with audible seams
+    #                       (reference generate_audio.py:43-47)
     fast_conv: bool = True  # Toeplitz lane-packing for the tiny-channel
     #                         final convs (models/layers.py conv_toeplitz_t;
     #                         exact to f32 roundoff; --no_fast_conv disables)

@@ -25,6 +25,47 @@ from .utils import CheckpointManager, Visualizer
 from .utils.spectro_img import compute_visuals
 
 
+def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
+    """--cp_shards N: one seamless full-length forward, frame axis sharded
+    over an N-device cp mesh (parallel/halo.py make_cp_generator). The file
+    is padded so the frame count divides shards x generator-stride; the
+    spectrogram normalization and InstanceNorm statistics span the WHOLE
+    file (exactly what an unsharded full-length forward computes), not each
+    chunk — which is why there are no seams to begin with."""
+    from .parallel import make_mesh
+    from .parallel.halo import make_cp_generator
+
+    n = min(cfg.cp_shards, len(jax.devices()))
+    mesh = make_mesh((n,), ("cp",), devices=jax.devices()[:n])
+
+    stride = 2 ** cfg.n_downsample_global
+    if cfg.net_g == "local":
+        stride *= 2 ** cfg.n_local_enhancers
+    hop = cfg.hop_length
+    length = int(np.asarray(lr_audio).shape[-1])
+    frames = -(-length // hop) + 1      # centered MDCT2: (T-1)*hop -> T
+    q = n * stride                      # per-shard frames must cover stride
+    t_frames = -(-frames // q) * q
+    need = (t_frames - 1) * hop
+    lr_full = np.zeros(need, np.float32)
+    lr_full[: min(length, need)] = np.asarray(lr_audio, np.float32)[:need]
+
+    # a full-length codec/system (the training codec crops its inverse to
+    # segment_length); the generator param tree is identical
+    full = Pix2PixHDSystem(system.cfg.replace(segment_length=need))
+    cp_g = make_cp_generator(full, mesh, axis="cp")
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    encode = jax.jit(lambda a, k: full.encode_input(a, None, k)[:3])
+    lr_spec, lr_pha, lr_norm = encode(jnp.asarray(lr_full[None]), rng)
+    print(f"context-parallel inference: {t_frames} frames over {n} shards")
+    sr_spec = cp_g(params_g, lr_spec)
+    decode = jax.jit(lambda s, p, m, k: full.codec.imdct_eval(
+        jnp.abs(s), p, m, rng=k))
+    wav = np.asarray(decode(sr_spec, lr_pha, lr_norm, rng)).reshape(-1)
+    return np.sqrt(cfg.up_ratio - 1) * wav
+
+
 def main(argv=None, cfg: Optional[Config] = None) -> None:
     from .utils.compile_cache import enable_compile_cache
     enable_compile_cache()
@@ -75,25 +116,35 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
         params_g = shard_generator_params(params_g, tp_mesh)
         print(f"tensor-parallel inference over {n} shards")
 
-    @jax.jit
-    def infer(pg, lr_audio, rng):
-        sr_spec, lr_pha, lr_norm, _ = system.inference(pg, lr_audio, rng)
-        wav = system.codec.imdct_eval(jnp.abs(sr_spec), lr_pha, lr_norm, rng=rng)
-        return wav
+    if cfg.cp_shards > 1:
+        # Seamless long-audio inference: the WHOLE file is one spectrogram,
+        # frame-axis-sharded over a cp mesh with per-conv-layer halo
+        # exchange (parallel/halo.py). Output == an unsharded full-length
+        # forward (<=6e-7, tests/test_halo_cp.py) — no segment seams, unlike
+        # the reference's independent chunks (generate_audio.py:43-47).
+        audio = cp_generate(system, params_g, ds.lr_audio, cfg)
+    else:
+        @jax.jit
+        def infer(pg, lr_audio, rng):
+            sr_spec, lr_pha, lr_norm, _ = system.inference(pg, lr_audio, rng)
+            wav = system.codec.imdct_eval(jnp.abs(sr_spec), lr_pha, lr_norm,
+                                          rng=rng)
+            return wav
 
-    segments = ds.segments
-    outs = []
-    bs = max(1, cfg.batch_size)
-    for i in range(0, len(segments), bs):
-        batch = segments[i : i + bs]
-        pad = bs - batch.shape[0]
-        if pad:
-            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:],
-                                                    batch.dtype)])
-        wav = np.asarray(infer(params_g, jnp.asarray(batch),
-                               jax.random.PRNGKey(cfg.seed + i)))
-        outs.append(wav[: wav.shape[0] - pad] if pad else wav)
-    audio = np.sqrt(cfg.up_ratio - 1) * np.concatenate(outs, 0).reshape(-1)
+        segments = ds.segments
+        outs = []
+        bs = max(1, cfg.batch_size)
+        for i in range(0, len(segments), bs):
+            batch = segments[i : i + bs]
+            pad = bs - batch.shape[0]
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+            wav = np.asarray(infer(params_g, jnp.asarray(batch),
+                                   jax.random.PRNGKey(cfg.seed + i)))
+            outs.append(wav[: wav.shape[0] - pad] if pad else wav)
+        audio = np.sqrt(cfg.up_ratio - 1) * np.concatenate(outs, 0).reshape(-1)
+    audio = audio[: ds.segments.size]
 
     n = ds.audio_len
     lr_trim = ds.lr_audio[:n]

@@ -69,3 +69,32 @@ def test_cp_generator_exact(rng_np, netg):
         got = np.asarray(make_cp_generator(system, mesh, axis="cp")(params, spec))
         np.testing.assert_allclose(got, want, atol=5e-6,
                                    err_msg=f"ndev={ndev}")
+
+
+@pytest.mark.slow
+def test_cp_generate_cli_path_matches_unsharded(rng_np):
+    """The generate-CLI cp path (generate.cp_generate: full-length encode ->
+    frame-sharded G -> full-length decode) produces the same waveform at 1
+    and 4 shards — i.e. the seamless full-file forward, independent of the
+    shard count."""
+    from pix2pixhdaudiosr_tpu.generate import cp_generate
+    from pix2pixhdaudiosr_tpu.trainer import init_state
+
+    cfg = Config(net_g="global", ngf=4, n_downsample_global=2,
+                 n_blocks_global=1, input_nc=2, output_nc=2, label_nc=0,
+                 explicit_encoding=True, mask_mode="mode2",
+                 compute_dtype="float32")
+    system = Pix2PixHDSystem(cfg)
+    state, *_ = init_state(system, jax.random.PRNGKey(0), batch=1)
+    params_g = state.params["G"]
+    # length on the common frame grid of both shard counts (T=208 frames =
+    # (208-1)*256 samples) so 1-shard and 4-shard runs see the identical
+    # padded spectrogram (and identical mask-noise realization)
+    t = np.arange(207 * 256) / 48000
+    lr = (0.3 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+
+    a1 = cp_generate(system, params_g, lr, cfg.replace(cp_shards=1))
+    a4 = cp_generate(system, params_g, lr, cfg.replace(cp_shards=4))
+    n = min(a1.size, a4.size)
+    assert n >= lr.size  # padded to the shard grid, never truncated below
+    np.testing.assert_allclose(a4[:n], a1[:n], atol=2e-5)
