@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Build a real-speech micro-corpus from the reference's committed wavs.
+
+VERDICT r2 ask 2 (bounded fallback): VCTK cannot be fetched in this
+environment (zero egress — see BASELINE.md "Real-speech quality numbers"),
+but the reference commits real 48 kHz speech: `test/test.wav` (728,728
+samples, the README generate fixture) and the `generated/GEN_VCTK_*/`
+hr_audio.wav utterance (374,855 samples). This tool windows that ~1.1M
+samples of real speech into a train corpus shaped like the round-2
+regression soak (N files x segment_length samples, random offsets, so the
+cached flagship batch-64 compile applies) plus held-out eval files that
+share no samples with any training window.
+
+Usage: python tools/prep_realspeech.py --out /tmp/realspeech [--n_train 160]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pix2pixhdaudiosr_tpu.data import read_wav, write_wav
+
+SOURCES = [
+    "/root/reference/test/test.wav",
+    "/root/reference/generated/GEN_VCTK_G3L2_48ngf/hr_audio.wav",
+]
+SEG = 32512
+HOLDOUT = 2 * SEG  # tail of each source reserved for eval
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/realspeech")
+    ap.add_argument("--n_train", type=int, default=160)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    train_dir = os.path.join(args.out, "train")
+    eval_dir = os.path.join(args.out, "eval")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(eval_dir, exist_ok=True)
+
+    pools, total = [], 0
+    for i, path in enumerate(SOURCES):
+        audio, rate = read_wav(path)
+        assert rate == 48000, (path, rate)
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        train_part, hold = audio[:-HOLDOUT], audio[-HOLDOUT:]
+        pools.append(train_part)
+        total += train_part.size
+        write_wav(os.path.join(eval_dir, f"held{i}.wav"), hold, rate)
+
+    rng = np.random.default_rng(args.seed)
+    weights = np.asarray([p.size for p in pools], np.float64)
+    weights /= weights.sum()
+    for j in range(args.n_train):
+        p = pools[rng.choice(len(pools), p=weights)]
+        off = int(rng.integers(0, p.size - SEG))
+        write_wav(os.path.join(train_dir, f"r{j:03d}.wav"),
+                  p[off : off + SEG], 48000)
+    print(f"wrote {args.n_train} train files ({total} source samples) to "
+          f"{train_dir}, {len(SOURCES)} held-out files to {eval_dir}")
+
+
+if __name__ == "__main__":
+    main()
