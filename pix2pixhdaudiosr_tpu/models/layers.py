@@ -308,11 +308,21 @@ class ConvIN(nn.Module):
         # correction convs each re-read the [k,k,ci,co] weight from HBM. For
         # the deep trunk resblocks (1536-2048 ch at 32x8) the weight re-reads
         # dominate (measured +4 ms at batch 64); for the full-res enhancer
-        # layers the pad copy dominates (measured -4 ms). Threshold: saved
-        # pad traffic 2*B*H*W*ci vs ~4 weight reads 4*k^2*ci*co.
+        # layers the pad copy dominates (measured -4 ms). The traffic model
+        # (saved pad 2*B*H*W*ci vs ~4 weight re-reads 4*k^2*ci*co) predicts
+        # a crossover at B*H*W ~ 2*k^2*co; the constant below is 2x that —
+        # a deliberate margin toward the padded path, which matched the
+        # measured crossover between the trunk resblocks (+4 ms implicit)
+        # and the full-res enhancer layers (-4 ms) at batch 64. The savings
+        # side also scales with ci: for the 2-channel head convs the pad
+        # copy is near-free while the four correction strips are not —
+        # measured at batch 128, materialized pad beats implicit by 1.1 ms
+        # on the enh down0+down1 pair (benchmarks/enh_head_experiments.py),
+        # so implicit additionally requires ci >= 8.
         B_, H_, W_ = x.shape[0], x.shape[1], x.shape[2]
         worth_it = (self.impl == "implicit"
-                    or B_ * H_ * W_ > 4 * self.kernel ** 2 * self.features)
+                    or (x.shape[-1] >= 8
+                        and B_ * H_ * W_ > 4 * self.kernel ** 2 * self.features))
         use_implicit = (self.reflect and cp is None and self.stride == 1
                         and self.pad == 0 and self.impl != "padded"
                         and self.reflect == self.kernel // 2 and worth_it)
