@@ -30,24 +30,6 @@ def _host_params_from_shapes(shapes, seed=0):
             (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
 
 
-def _timed(compiled, args, sumjit, reduce_out, small=3, extra=10):
-    """Differenced timing: run `small` and `small+extra` iterations, fetch a
-    derived scalar to fence (block_until_ready does not fence AOT executions
-    on the axon relay), return seconds per iteration."""
-    def run(iters, a):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(iters):
-            o = compiled(*a)
-        float(sumjit(reduce_out(o)))
-        return time.perf_counter() - t0
-
-    run(2, args)
-    t_small = run(small, args)
-    t_big = run(small + extra, args)
-    return (t_big - t_small) / extra
-
-
 def bench_train_step(system, cfg):
     """Flagship 156M-param two-optimizer GAN train step, batch 64."""
     from pix2pixhdaudiosr_tpu.trainer import (_split_params, make_optimizer,
@@ -68,7 +50,9 @@ def bench_train_step(system, cfg):
     og, od = init_opts(params)
     state = TrainState(params=params, opt_g=og, opt_d=od,
                        step=jnp.zeros((), jnp.int32))
-    step = make_train_step(system, opt_g, opt_d, donate=False)
+    # donate=True is the real training configuration (train_loop.py); the
+    # timing loop chains state -> state so donation stays valid.
+    step = make_train_step(system, opt_g, opt_d, donate=True)
     data = {
         "label": jnp.asarray(rng_np.standard_normal(
             (batch, cfg.segment_length)).astype(np.float32) * 0.1),
@@ -87,8 +71,21 @@ def bench_train_step(system, cfg):
     except Exception:
         pass
     sumjit = jax.jit(lambda x: x.sum())
-    per = _timed(compiled, (state, data, key, None), sumjit,
-                 lambda o: o[1]["G_GAN"], small=2, extra=6)
+
+    def run(iters):
+        nonlocal state
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(iters):
+            o = compiled(state, data, key, None)
+            state = o[0]
+        float(sumjit(o[1]["G_GAN"]))
+        return time.perf_counter() - t0
+
+    run(2)
+    t_small = run(2)
+    t_big = run(2 + 6)
+    per = (t_big - t_small) / 6
     seg_per_sec = batch / per
     if flops:
         ref_sps = REF_EFFECTIVE_FLOPS / (flops / batch)
