@@ -35,6 +35,19 @@ from .ops.encoding import CodecConfig, SpectroCodec
 Params = Dict[str, Any]
 
 
+def _maybe_remat(fn, remat: Optional[str]):
+    """Wrap a forward in jax.checkpoint per the remat_g mode (see
+    losses_and_grads)."""
+    if remat is None:
+        return fn
+    if remat == "full":
+        return jax.checkpoint(fn)
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_saveable)
+    raise ValueError(f"unknown remat mode: {remat!r}")
+
+
 class Pix2PixHDSystem:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -186,9 +199,18 @@ class Pix2PixHDSystem:
     def losses_and_grads(self, params: Params, batch: Dict[str, jnp.ndarray],
                          rng: jax.Array,
                          pooled_fake: Optional[jnp.ndarray] = None,
-                         with_visuals: bool = False):
-        """One full GAN step's losses and gradients
-        (reference models/pix2pixHD_model.py:331-435 + train.py:147-184)."""
+                         with_visuals: bool = False,
+                         remat_g: Optional[str] = None):
+        """One full GAN step's losses and grads
+        (reference models/pix2pixHD_model.py:331-435 + train.py:147-184).
+
+        remat_g: rematerialize the G forward in the backward pass instead of
+        stashing activations — None (off), "full" (jax.checkpoint), or
+        "dots" (checkpoint_policies.dots_saveable: keep MXU outputs,
+        recompute elementwise/norm). Measured on v5e in
+        benchmarks/remat_experiment.py; a memory/speed trade knob for
+        larger-than-flagship models.
+        """
         cfg = self.cfg
         use_lsgan = not cfg.no_lsgan
         k_enc, k_g, k_d = jax.random.split(rng, 3)
@@ -210,13 +232,14 @@ class Pix2PixHDSystem:
                                        feat.astype(self.dtype)], axis=-1)
                 return self.netG.apply(pg, gin).astype(jnp.float32)
 
-            sr, g_vjp_e = jax.vjp(g_fwd, (params["G"], params["E"]))
+            sr, g_vjp_e = jax.vjp(_maybe_remat(g_fwd, remat_g),
+                                  (params["G"], params["E"]))
         else:
             def g_fwd(pg):
                 out = self.netG.apply(pg, lr_spec.astype(self.dtype))
                 return out.astype(jnp.float32)
 
-            sr, g_vjp = jax.vjp(g_fwd, params["G"])
+            sr, g_vjp = jax.vjp(_maybe_remat(g_fwd, remat_g), params["G"])
 
         # --- generator-side losses as a function of the G output
         def g_losses(sr_):

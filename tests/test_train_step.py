@@ -149,3 +149,26 @@ def test_lr_decay_with_donated_step(tiny_setup):
                             fix_global=False, with_visuals=False)
     assert np.isfinite(float(losses["G_GAN"]))
     assert float(s.opt_g.hyperparams["learning_rate"]) == pytest.approx(1e-4)
+
+
+def test_remat_g_grads_match(tiny_setup):
+    """remat_g ("full" and "dots") rematerializes the G forward without
+    changing a single gradient bit (system.losses_and_grads remat_g;
+    measured as a memory/speed trade in benchmarks/remat_experiment.py)."""
+    system, state, _ = tiny_setup
+    batch = synth_batch(2, TINY.segment_length, np.random.default_rng(7))
+    key = jax.random.PRNGKey(11)
+
+    def grads(mode):
+        losses, gg, gd, _ = jax.jit(
+            lambda p, b, k: system.losses_and_grads(p, b, k, remat_g=mode)
+        )(state.params, batch, key)
+        return losses, np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(gg)])
+
+    base_losses, base = grads(None)
+    for mode in ("full", "dots"):
+        losses, flat = grads(mode)
+        assert float(losses["G_GAN"]) == pytest.approx(
+            float(base_losses["G_GAN"]))
+        np.testing.assert_array_equal(flat, base, err_msg=mode)
