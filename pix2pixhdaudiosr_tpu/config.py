@@ -160,6 +160,11 @@ class Config:
     #                       one spectrogram sharded over frames, vs the
     #                       reference's independent chunks with audible seams
     #                       (reference generate_audio.py:43-47)
+    remat_g: str = ""     # rematerialize the G forward in the backward:
+    #                       "" (off), "full", or "dots" (keep MXU outputs).
+    #                       Bit-exact grads; trades HBM capacity for ~8-20%
+    #                       step time on v5e (BASELINE.md remat experiment) —
+    #                       for models too large to train without it
     fast_conv: bool = True  # Toeplitz lane-packing for the tiny-channel
     #                         final convs (models/layers.py conv_toeplitz_t;
     #                         exact to f32 roundoff; --no_fast_conv disables)

@@ -107,13 +107,14 @@ def make_train_step(system: Pix2PixHDSystem,
         (state, losses dict, aux dict)
     Static flags: fix_global, with_visuals.
     """
+    remat = system.cfg.remat_g or None
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
              pooled_fake: Optional[jnp.ndarray],
              fix_global: bool, with_visuals: bool):
         losses, grads_g, grads_d, aux = system.losses_and_grads(
             state.params, batch, rng, pooled_fake=pooled_fake,
-            with_visuals=with_visuals)
+            with_visuals=with_visuals, remat_g=remat)
         if fix_global:
             grads_g = _mask_fixed_global(grads_g, system.cfg.n_local_enhancers)
         pg, pd = _split_params(state.params)
@@ -143,7 +144,8 @@ def make_pool_steps(system: Pix2PixHDSystem,
     def g_step(state: TrainState, batch, rng, fix_global: bool,
                with_visuals: bool):
         losses, grads_g, _, aux = system.losses_and_grads(
-            state.params, batch, rng, with_visuals=with_visuals)
+            state.params, batch, rng, with_visuals=with_visuals,
+            remat_g=system.cfg.remat_g or None)
         if fix_global:
             grads_g = _mask_fixed_global(grads_g, system.cfg.n_local_enhancers)
         pg, _ = _split_params(state.params)

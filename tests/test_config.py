@@ -53,3 +53,13 @@ def test_frame_length_invariant():
     from pix2pixhdaudiosr_tpu.config import BINS, FRAME_LENGTH, HOP_LENGTH
     assert BINS % 16 == 0
     assert FRAME_LENGTH == (BINS - 1) * HOP_LENGTH == 32512
+
+
+def test_remat_g_flag(capsys):
+    from pix2pixhdaudiosr_tpu.config import parse_config
+    cfg = parse_config(["--name", "x", "--dataroot", "/tmp",
+                        "--remat_g", "dots"], is_train=True)
+    assert cfg.remat_g == "dots"
+    # the default stays off (empty string -> None inside make_train_step)
+    cfg2 = parse_config(["--name", "x", "--dataroot", "/tmp"], is_train=True)
+    assert cfg2.remat_g == ""
