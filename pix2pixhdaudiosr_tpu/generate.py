@@ -35,18 +35,31 @@ def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
     from .parallel import make_mesh
     from .parallel.halo import make_cp_generator
 
+    if system.netE is not None:
+        raise SystemExit("--cp_shards does not support feature-encoder "
+                         "configs (--instance_feat/--label_feat/"
+                         "--use_encoded_image); use the chunked path")
     n = min(cfg.cp_shards, len(jax.devices()))
     mesh = make_mesh((n,), ("cp",), devices=jax.devices()[:n])
 
     stride = 2 ** cfg.n_downsample_global
     if cfg.net_g == "local":
         stride *= 2 ** cfg.n_local_enhancers
-    hop = cfg.hop_length
+    hop, win, center = cfg.hop_length, cfg.win_length, cfg.center
     length = int(np.asarray(lr_audio).shape[-1])
-    frames = -(-length // hop) + 1      # centered MDCT2: (T-1)*hop -> T
+    frames = Pix2PixHDSystem.frames_for(length, hop, win, center)
     q = n * stride                      # per-shard frames must cover stride
     t_frames = -(-frames // q) * q
-    need = (t_frames - 1) * hop
+    # invert the codec pad rule for a hop-aligned length (exact when
+    # seg % hop == 0, which `need` is by construction)
+    start = hop if center else 0
+    need = (t_frames - 1) * hop + win - 2 * start
+    if (need % hop or need < length
+            or Pix2PixHDSystem.frames_for(need, hop, win, center) != t_frames):
+        raise SystemExit(
+            f"--cp_shards cannot pad this config to a shardable frame "
+            f"count (win_length {win}, hop_length {hop}, center {center}); "
+            f"use the chunked path")
     lr_full = np.zeros(need, np.float32)
     lr_full[: min(length, need)] = np.asarray(lr_audio, np.float32)[:need]
 
@@ -105,6 +118,11 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
         params_g = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, params_g)
+    if cfg.tp_shards > 1 and cfg.cp_shards > 1:
+        # cp_generate's shard_map replicates params over the cp mesh, which
+        # would silently undo the TP sharding (and its memory saving)
+        raise SystemExit("--tp_shards and --cp_shards cannot be combined in "
+                         "generate; pick one parallelism for inference")
     if cfg.tp_shards > 1:
         # Megatron tensor parallelism over the resblock channel dim: place
         # the params with column/row shardings and let XLA insert the

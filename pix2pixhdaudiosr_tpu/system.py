@@ -103,16 +103,22 @@ class Pix2PixHDSystem:
         self.loss_names = [n for n, f in zip(LOSS_NAMES, self.flags) if f]
 
     # ------------------------------------------------------------------
-    @property
-    def n_frames(self) -> int:
-        """Frame count of one segment under the reference pad rule
-        (reference models/mdct.py:379-391): 128 for the default config."""
-        seg, hop, win = self.cfg.segment_length, self.cfg.hop_length, self.cfg.win_length
-        start = hop if self.cfg.center else 0
+    @staticmethod
+    def frames_for(seg: int, hop: int, win: int, center: bool) -> int:
+        """Frame count of a `seg`-sample signal under the reference pad rule
+        (reference models/mdct.py:379-391) — the ONE implementation; used by
+        n_frames and by generate.cp_generate's full-file padding."""
+        start = hop if center else 0
         extra = seg % hop
         end = start + (hop - extra if extra else 0)
         L = seg + start + end
         return (L - win) // hop + 1
+
+    @property
+    def n_frames(self) -> int:
+        """Frame count of one segment: 128 for the default config."""
+        return self.frames_for(self.cfg.segment_length, self.cfg.hop_length,
+                               self.cfg.win_length, self.cfg.center)
 
     def spectro_shape(self, batch: int) -> Tuple[int, int, int, int]:
         c = 2 if self.cfg.explicit_encoding else 1

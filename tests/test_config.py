@@ -63,3 +63,20 @@ def test_remat_g_flag(capsys):
     # the default stays off (empty string -> None inside make_train_step)
     cfg2 = parse_config(["--name", "x", "--dataroot", "/tmp"], is_train=True)
     assert cfg2.remat_g == ""
+
+
+def test_frames_for_pad_rule_inversion():
+    """cp_generate pads a file to `need = (t-1)*hop + win - 2*start` samples
+    and relies on the codec producing exactly t frames for it (the review
+    found the old hard-coded 2*hop rule; now both sides share frames_for)."""
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+    f = Pix2PixHDSystem.frames_for
+    assert f(32512, 256, 512, True) == 128  # flagship invariant
+    for hop, win, center in [(256, 512, True), (256, 512, False),
+                             (128, 256, True), (256, 1024, True)]:
+        start = hop if center else 0
+        for t in (16, 32, 128):
+            need = (t - 1) * hop + win - 2 * start
+            if need <= 0 or need % hop:
+                continue  # cp_generate rejects these configs explicitly
+            assert f(need, hop, win, center) == t, (hop, win, center, t)

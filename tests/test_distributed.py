@@ -43,10 +43,7 @@ def _worker_env(n_local: int) -> dict:
     return env
 
 
-@pytest.mark.slow
-def test_two_process_dp_step_matches_single_process():
-    port = _free_port()
-    env = _worker_env(n_local=2)
+def _run_workers(port: int, env: dict):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "dist_worker.py"),
@@ -55,11 +52,24 @@ def test_two_process_dp_step_matches_single_process():
             env=env, cwd=REPO)
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append(out)
+    return [p.communicate(timeout=600) + (p.returncode,) for p in procs]
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process():
+    env = _worker_env(n_local=2)
+    # _free_port closes its probe socket before the coordinator binds it —
+    # a TOCTOU window on a busy host; retry once with a fresh port
+    for attempt in range(2):
+        results = _run_workers(_free_port(), env)
+        if all(rc == 0 for _, _, rc in results):
+            break
+        if attempt == 0 and any("in use" in err.lower() or "bind" in err.lower()
+                                for _, err, _ in results):
+            continue
+        for out, err, rc in results:
+            assert rc == 0, f"worker failed:\n{out}\n{err}"
+    outs = [out for out, _, _ in results]
 
     losses = []
     for out in outs:
