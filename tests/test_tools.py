@@ -77,3 +77,28 @@ def test_fetch_vctk_verify_mismatch(tmp_path):
     p = tmp_path / "fake.zip"
     p.write_bytes(b"not the corpus")
     assert fetch_vctk.verify(str(p)) == 1
+
+
+def test_seg_audio(tmp_path):
+    import os
+    import sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import seg_audio
+    from pix2pixhdaudiosr_tpu.data import read_wav, write_wav
+
+    rate = 48000
+    x = np.linspace(-0.5, 0.5, int(2.9 * rate)).astype(np.float32)
+    write_wav(str(tmp_path / "a.wav"), x, rate)
+    seg_audio.main([str(tmp_path), "--seconds", "1.2"])
+    names = sorted(os.listdir(tmp_path))
+    # 2.9 s at 1.2 s/segment -> 2 full chunks + the short tail, source kept
+    assert names == ["a.wav", "a000.wav", "a001.wav", "a002.wav"]
+    parts = [read_wav(str(tmp_path / n))[0].reshape(-1)
+             for n in names[1:]]
+    np.testing.assert_allclose(np.concatenate(parts), x, atol=2e-4)
+
+    # --delete removes the source like the reference's rm
+    write_wav(str(tmp_path / "b.wav"), x[: int(1.3 * rate)], rate)
+    seg_audio.segment_file(str(tmp_path / "b.wav"), 1.2, delete=True)
+    assert not (tmp_path / "b.wav").exists()

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Segment wav files into fixed-duration chunks.
+
+Parity: reference data/seg_audio.sh — `ffmpeg -f segment -segment_time 1.2`
+over every wav in a directory, deleting the originals. Here it is
+self-contained (this repo's wav I/O; no ffmpeg) and non-destructive by
+default (`--delete` opts in to the reference's rm behavior). Note the
+training pipeline does NOT require pre-segmented corpora — AudioDataset
+windows whole files on the fly (data/dataset.py) — so this exists for
+reproducing the reference's corpus-prep workflow.
+
+Usage: python tools/seg_audio.py /path/to/wavs [--seconds 1.2] [--delete]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pix2pixhdaudiosr_tpu.data import read_wav, write_wav
+
+
+def segment_file(path: str, seconds: float, delete: bool) -> int:
+    audio, rate = read_wav(path)
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    seg = int(round(seconds * rate))
+    if seg <= 0 or audio.size <= seg:
+        return 0
+    base = os.path.splitext(path)[0]
+    n = 0
+    for off in range(0, audio.size, seg):
+        chunk = audio[off : off + seg]
+        # the reference's ffmpeg segmenter keeps the short tail chunk too
+        write_wav(f"{base}%03d.wav" % n, chunk, rate)
+        n += 1
+    if delete:
+        os.remove(path)
+    return n
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dir")
+    ap.add_argument("--seconds", type=float, default=1.2)
+    ap.add_argument("--delete", action="store_true",
+                    help="remove each source wav after segmenting "
+                         "(the reference's behavior)")
+    args = ap.parse_args(argv)
+    total = 0
+    for name in sorted(os.listdir(args.dir)):
+        if name.lower().endswith(".wav"):
+            total += segment_file(os.path.join(args.dir, name),
+                                  args.seconds, args.delete)
+    print(f"wrote {total} segments")
+
+
+if __name__ == "__main__":
+    main()
