@@ -87,6 +87,15 @@ def test_train_generate_evaluate(env):
     assert rate_cp == 48000 and np.isfinite(sr_cp).all()
     assert sr_cp.shape[-1] >= 40000
 
+    # tp+cp must be rejected clearly (cp's shard_map would silently
+    # re-replicate the TP-sharded params — self-review finding)
+    import pytest as _pytest
+    bad = tiny_cfg(env, name="e2e_gen_tpcp", dataroot=wav0,
+                   load_pretrain=expr, phase="test", serial_batches=True,
+                   is_train=False, cp_shards=2, tp_shards=2)
+    with _pytest.raises(SystemExit, match="cannot be combined"):
+        gen_main(cfg=bad)
+
     # ---- standalone evaluation
     from pix2pixhdaudiosr_tpu.evaluate import main as eval_main
     ecfg = tiny_cfg(env, name="e2e_eval", load_pretrain=expr, niter=1,
