@@ -299,6 +299,11 @@ def parse_config(argv=None, defaults: Optional[Config] = None,
         kw["mesh_axes"] = tuple(x for x in kw["mesh_axes"].split(",") if x)
     cfg = Config(**kw).replace(is_train=is_train)
     cfg = cfg.apply_debug()
+    if cfg.remat_g not in ("", "full", "dots"):
+        # reject typos at parse time — otherwise the error only fires when
+        # the first train step is traced, minutes into a TPU run
+        raise SystemExit(f"--remat_g must be 'full' or 'dots', "
+                         f"got {cfg.remat_g!r}")
     print("------------ Options -------------")
     for k, v in sorted(dataclasses.asdict(cfg).items()):
         print("%s: %s" % (k, v))

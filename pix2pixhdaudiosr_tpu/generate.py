@@ -35,7 +35,9 @@ def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
     from .parallel import make_mesh
     from .parallel.halo import make_cp_generator
 
-    if system.netE is not None:
+    if system.cfg.use_features:
+        # covers both the netE path and --load_features (netE is None there
+        # but the generator still expects feat_num extra input channels)
         raise SystemExit("--cp_shards does not support feature-encoder "
                          "configs (--instance_feat/--label_feat/"
                          "--use_encoded_image); use the chunked path")
@@ -84,6 +86,12 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
     enable_compile_cache()
     if cfg is None:
         cfg = parse_config(argv, is_train=False)
+    if cfg.tp_shards > 1 and cfg.cp_shards > 1:
+        # cp_generate's shard_map replicates params over the cp mesh, which
+        # would silently undo the TP sharding (and its memory saving);
+        # checked before any restore/compile — it's a pure-config error
+        raise SystemExit("--tp_shards and --cp_shards cannot be combined in "
+                         "generate; pick one parallelism for inference")
     visualizer = Visualizer(cfg.replace(is_train=True))  # web dir on
 
     ds = AudioTestDataset(cfg.dataroot, cfg.lr_sampling_rate,
@@ -118,11 +126,6 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
         params_g = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, params_g)
-    if cfg.tp_shards > 1 and cfg.cp_shards > 1:
-        # cp_generate's shard_map replicates params over the cp mesh, which
-        # would silently undo the TP sharding (and its memory saving)
-        raise SystemExit("--tp_shards and --cp_shards cannot be combined in "
-                         "generate; pick one parallelism for inference")
     if cfg.tp_shards > 1:
         # Megatron tensor parallelism over the resblock channel dim: place
         # the params with column/row shardings and let XLA insert the

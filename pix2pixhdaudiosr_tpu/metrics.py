@@ -23,6 +23,29 @@ from .ops.audio import spectrogram_power
 from .ops.window import kbdwin
 
 
+def renormalize(hr: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Match x to hr mean/std (reference util/util.py:138-139)."""
+    x = (x - jnp.mean(x, axis=-1, keepdims=True)) / jnp.std(
+        x, axis=-1, keepdims=True)
+    return x * jnp.std(hr, axis=-1, keepdims=True) + jnp.mean(
+        hr, axis=-1, keepdims=True)
+
+
+def lsd(hr: jnp.ndarray, x: jnp.ndarray, n_fft: int, hop_length: int,
+        win_length: int, center: bool = True) -> float:
+    """Log-spectral distance of x vs hr (no renormalization — callers that
+    want the reference's behavior pass renormalize(hr, x)): log10 power STFT
+    at 2x n_fft/hop/win with a kbd window (reference util/util.py:141-151)."""
+    window = kbdwin(2 * win_length)
+    a = jnp.log10(spectrogram_power(hr, 2 * n_fft, 2 * hop_length,
+                                    2 * win_length, window, center=center)
+                  + 1e-6)
+    b = jnp.log10(spectrogram_power(x, 2 * n_fft, 2 * hop_length,
+                                    2 * win_length, window, center=center)
+                  + 1e-6)
+    return float(jnp.mean(jnp.sqrt(jnp.mean((a - b) ** 2, axis=-2))))
+
+
 def compute_metrics(hr_audio: jnp.ndarray, lr_audio: jnp.ndarray,
                     sr_audio: jnp.ndarray, n_fft: int, hop_length: int,
                     win_length: int, center: bool = True
@@ -32,10 +55,7 @@ def compute_metrics(hr_audio: jnp.ndarray, lr_audio: jnp.ndarray,
     working `segmental_snr` (the pesq slot stays 0)."""
     hr = hr_audio.astype(jnp.float32)
     lr = lr_audio.astype(jnp.float32)
-    sr = sr_audio.astype(jnp.float32)
-    # Match sr to hr statistics (reference util/util.py:138-139)
-    sr = (sr - jnp.mean(sr, axis=-1, keepdims=True)) / jnp.std(sr, axis=-1, keepdims=True)
-    sr = sr * jnp.std(hr, axis=-1, keepdims=True) + jnp.mean(hr, axis=-1, keepdims=True)
+    sr = renormalize(hr, sr_audio.astype(jnp.float32))
 
     mse = jnp.mean((sr - hr) ** 2)
     snr_sr = jnp.mean(10 * jnp.log10(jnp.sum(hr ** 2, axis=-1)
@@ -43,18 +63,11 @@ def compute_metrics(hr_audio: jnp.ndarray, lr_audio: jnp.ndarray,
     snr_lr = jnp.mean(10 * jnp.log10(jnp.sum(hr ** 2, axis=-1)
                                      / jnp.sum((lr - hr) ** 2, axis=-1)))
 
-    window = kbdwin(2 * win_length)
-    hr_stft = spectrogram_power(hr, 2 * n_fft, 2 * hop_length, 2 * win_length,
-                                window, center=center)
-    sr_stft = spectrogram_power(sr, 2 * n_fft, 2 * hop_length, 2 * win_length,
-                                window, center=center)
-    hr_log = jnp.log10(hr_stft + 1e-6)
-    sr_log = jnp.log10(sr_stft + 1e-6)
-    lsd = jnp.mean(jnp.sqrt(jnp.mean((hr_log - sr_log) ** 2, axis=-2)))
+    lsd_sr = lsd(hr, sr, n_fft, hop_length, win_length, center)
     ssnr_sr = segmental_snr(hr, sr)
     ssnr_lr = segmental_snr(hr, lr)
     return (float(mse), float(snr_sr), float(snr_lr), ssnr_sr, ssnr_lr,
-            0.0, float(lsd))
+            0.0, lsd_sr)
 
 
 def segmental_snr(hr_audio, sr_audio, frame_length: int = 1536,

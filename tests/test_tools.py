@@ -102,3 +102,22 @@ def test_seg_audio(tmp_path):
     write_wav(str(tmp_path / "b.wav"), x[: int(1.3 * rate)], rate)
     seg_audio.segment_file(str(tmp_path / "b.wav"), 1.2, delete=True)
     assert not (tmp_path / "b.wav").exists()
+
+
+def test_seg_audio_stereo(tmp_path):
+    import os
+    import sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import seg_audio
+    from pix2pixhdaudiosr_tpu.data import read_wav, write_wav
+
+    rate = 48000
+    x = np.stack([np.linspace(-0.5, 0.5, int(2.5 * rate)),
+                  np.linspace(0.5, -0.5, int(2.5 * rate))]).astype(np.float32)
+    write_wav(str(tmp_path / "s.wav"), x, rate)
+    n = seg_audio.segment_file(str(tmp_path / "s.wav"), 1.0, delete=False)
+    assert n == 3
+    parts = [read_wav(str(tmp_path / f"s{i:03d}.wav"))[0] for i in range(3)]
+    assert all(p.shape[0] == 2 for p in parts)  # channels preserved
+    np.testing.assert_allclose(np.concatenate(parts, axis=1), x, atol=2e-4)

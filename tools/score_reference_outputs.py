@@ -31,25 +31,8 @@ if not os.environ.get("SCORE_ON_TPU"):
 import jax.numpy as jnp  # noqa: E402
 
 from pix2pixhdaudiosr_tpu.data import read_wav  # noqa: E402
-from pix2pixhdaudiosr_tpu.metrics import compute_metrics  # noqa: E402
-from pix2pixhdaudiosr_tpu.ops.audio import spectrogram_power  # noqa: E402
-from pix2pixhdaudiosr_tpu.ops.window import kbdwin  # noqa: E402
-
-
-def _renorm_lsd(hr, x, n_fft=512, hop=256, win=512):
-    """LSD of x-renormalized-to-hr-stats vs hr — the same quantity
-    compute_metrics reports for its sr argument, without recomputing the
-    SNR/SSNR family."""
-    x = (x - jnp.mean(x, axis=-1, keepdims=True)) / jnp.std(
-        x, axis=-1, keepdims=True)
-    x = x * jnp.std(hr, axis=-1, keepdims=True) + jnp.mean(
-        hr, axis=-1, keepdims=True)
-    window = kbdwin(2 * win)
-    a = jnp.log10(spectrogram_power(hr, 2 * n_fft, 2 * hop, 2 * win,
-                                    window, center=True) + 1e-6)
-    b = jnp.log10(spectrogram_power(x, 2 * n_fft, 2 * hop, 2 * win,
-                                    window, center=True) + 1e-6)
-    return float(jnp.mean(jnp.sqrt(jnp.mean((a - b) ** 2, axis=-2))))
+from pix2pixhdaudiosr_tpu.metrics import (compute_metrics, lsd,  # noqa: E402
+                                          renormalize)
 
 VARIANTS = [
     "GEN_VCTK_G3L2_48ngf",
@@ -69,8 +52,9 @@ def score_triplet(base: str) -> dict:
     mse, snr_sr, snr_lr, ssnr_sr, ssnr_lr, _, lsd_sr = compute_metrics(
         jnp.asarray(hr[None]), jnp.asarray(lr[None]), jnp.asarray(sr[None]),
         n_fft=512, hop_length=256, win_length=512, center=True)
-    lsd_lr = _renorm_lsd(jnp.asarray(hr[None], jnp.float32),
-                         jnp.asarray(lr[None], jnp.float32))
+    hr_j = jnp.asarray(hr[None], jnp.float32)
+    lsd_lr = lsd(hr_j, renormalize(hr_j, jnp.asarray(lr[None], jnp.float32)),
+                 n_fft=512, hop_length=256, win_length=512)
     return {"samples": int(n), "mse": round(mse, 6),
             "snr_sr": round(snr_sr, 3), "snr_lr": round(snr_lr, 3),
             "ssnr_sr": round(ssnr_sr, 3), "ssnr_lr": round(ssnr_lr, 3),

@@ -27,16 +27,18 @@ from pix2pixhdaudiosr_tpu.data import read_wav, write_wav
 
 def segment_file(path: str, seconds: float, delete: bool) -> int:
     audio, rate = read_wav(path)
-    audio = np.asarray(audio, np.float32).reshape(-1)
+    audio = np.asarray(audio, np.float32)   # [channels, frames]
+    if audio.ndim == 1:
+        audio = audio[None]
     seg = int(round(seconds * rate))
-    if seg <= 0 or audio.size <= seg:
+    if seg <= 0 or audio.shape[1] <= seg:
         return 0
     base = os.path.splitext(path)[0]
     n = 0
-    for off in range(0, audio.size, seg):
-        chunk = audio[off : off + seg]
+    for off in range(0, audio.shape[1], seg):
+        chunk = audio[:, off : off + seg]   # channels preserved, like ffmpeg
         # the reference's ffmpeg segmenter keeps the short tail chunk too
-        write_wav(f"{base}%03d.wav" % n, chunk, rate)
+        write_wav(f"{base}{n:03d}.wav", chunk, rate)
         n += 1
     if delete:
         os.remove(path)
