@@ -63,3 +63,26 @@ def test_split_steps_train(rng_np):
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
     assert int(s2.step) == 1
+
+
+def test_split_steps_with_remat(rng_np):
+    """remat_g flows through make_pool_steps' g_step (trainer.py) — same
+    bit-exact-grad guarantee as the fused step (test_train_step)."""
+    cfg = CFG.replace(remat_g="full", segment_length=7936,
+                      frames_per_segment=32)
+    system = Pix2PixHDSystem(cfg)
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=2)
+    g_step, d_step = make_pool_steps(system, opt_g, opt_d)
+    batch = {
+        "label": np.asarray(rng_np.standard_normal(
+            (2, cfg.segment_length)), np.float32) * 0.1,
+        "image": np.asarray(rng_np.standard_normal(
+            (2, cfg.segment_length)), np.float32) * 0.1,
+    }
+    rng = jax.random.PRNGKey(1)
+    state, losses, aux = g_step(state, batch, rng, fix_global=False,
+                                with_visuals=False)
+    pooled = np.asarray(aux["fake_pair"])
+    state, d_losses = d_step(state, batch, rng, pooled)
+    for k, v in {**losses, **d_losses}.items():
+        assert np.isfinite(float(v)), (k, v)
