@@ -26,6 +26,8 @@ from .utils import CheckpointManager
 def main(argv=None, cfg: Optional[Config] = None) -> None:
     from .utils.compile_cache import enable_compile_cache
     enable_compile_cache()
+    from .utils.watchdog import backend_watchdog
+    backend_watchdog()
     if cfg is None:
         cfg = parse_config(argv, is_train=False)
 

@@ -84,6 +84,8 @@ def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
 def main(argv=None, cfg: Optional[Config] = None) -> None:
     from .utils.compile_cache import enable_compile_cache
     enable_compile_cache()
+    from .utils.watchdog import backend_watchdog
+    backend_watchdog()
     if cfg is None:
         cfg = parse_config(argv, is_train=False)
     if cfg.tp_shards > 1 and cfg.cp_shards > 1:
