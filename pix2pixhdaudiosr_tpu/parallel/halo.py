@@ -64,14 +64,19 @@ def generator_receptive_halo(n_downsample_global: int, n_blocks_global: int,
     return int(np.ceil(rf / total_stride) * total_stride)
 
 
-def make_cp_generator(system, mesh: Mesh, axis: str = "data") -> Callable:
+def make_cp_generator(system, mesh: Mesh, axis: str = "data",
+                      batch_axis: str = None) -> Callable:
     """Build a jitted frame-axis context-parallel generator forward:
     [B, F, T, C] spectrogram sharded on T -> sr spectrogram, numerically
     matching the unsharded generator (and seamless, vs the reference's
     independent-chunk seams). Every conv layer exchanges its own kernel-radius
     halo via ppermute and reproduces the global boundary padding; InstanceNorm
     moments are pmean'd (see models/layers.py). Each shard's frame count must
-    be divisible by the generator's total stride."""
+    be divisible by the generator's total stride.
+
+    batch_axis: optionally also shard the batch dim over a second mesh axis
+    (dp x cp serving on a 2-D mesh) — the forward is batch-independent
+    (InstanceNorm is per-sample), so only the input/output specs change."""
     cfg = system.cfg
 
     # rebuild the generator with cp-aware layers (same param tree — the
@@ -88,7 +93,7 @@ def make_cp_generator(system, mesh: Mesh, axis: str = "data") -> Callable:
         out = net_g_cp.apply(params, x_local.astype(system.dtype))
         return out.astype(jnp.float32)
 
+    spec = P(batch_axis, None, axis, None)
     fn = jax.shard_map(local_apply, mesh=mesh,
-                       in_specs=(P(), P(None, None, axis, None)),
-                       out_specs=P(None, None, axis, None))
+                       in_specs=(P(), spec), out_specs=spec)
     return jax.jit(fn)

@@ -98,3 +98,23 @@ def test_cp_generate_cli_path_matches_unsharded(rng_np):
     n = min(a1.size, a4.size)
     assert n >= lr.size  # padded to the shard grid, never truncated below
     np.testing.assert_allclose(a4[:n], a1[:n], atol=2e-5)
+
+
+@pytest.mark.slow
+def test_cp_generator_2d_dp_x_cp(rng_np):
+    """dp x cp serving on a (2,4) 2-D mesh: batch sharded over `data`,
+    frames over `cp` — output equals the unsharded generator (the forward
+    is batch-independent, so only the specs change; make_cp_generator's
+    batch_axis)."""
+    cfg = Config(net_g="global", ngf=4, n_downsample_global=2,
+                 n_blocks_global=1, input_nc=2, output_nc=2, label_nc=0,
+                 explicit_encoding=True, compute_dtype="float32")
+    system = Pix2PixHDSystem(cfg)
+    spec = jnp.asarray(rng_np.standard_normal((2, 64, 256, 2))
+                       .astype(np.float32))
+    params = system.netG.init(jax.random.PRNGKey(0), spec)
+    want = np.asarray(system.netG.apply(params, spec))
+    mesh = make_mesh((2, 4), ("data", "cp"), devices=jax.devices()[:8])
+    fn = make_cp_generator(system, mesh, axis="cp", batch_axis="data")
+    got = np.asarray(fn(params, spec))
+    np.testing.assert_allclose(got, want, atol=5e-6)
