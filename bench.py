@@ -100,31 +100,11 @@ def bench_train_step(system, cfg):
     }), flush=True)
 
 
-def _backend_watchdog(seconds: float = 240.0):
-    """Fail fast if the TPU backend cannot initialize (the axon relay can
-    die mid-session, after which jax.devices() hangs indefinitely —
-    observed 2026-08-17). Exits nonzero with a clear message instead of
-    hanging the driver."""
-    import os
-    import sys
-    import threading
-
-    done = threading.Event()
-
-    def boom():
-        if not done.wait(seconds):
-            print(f"bench: TPU backend failed to initialize within "
-                  f"{seconds:.0f}s (axon relay down?)", file=sys.stderr,
-                  flush=True)
-            os._exit(3)
-
-    threading.Thread(target=boom, daemon=True).start()
-    jax.devices()
-    done.set()
-
-
 def main():
-    _backend_watchdog()
+    # shared fail-fast init watchdog (honors AUDIOSR_INIT_TIMEOUT like the
+    # CLIs; exits 3 if the axon relay is down instead of hanging the driver)
+    from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
+    backend_watchdog()
     from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
     from __graft_entry__ import _flagship_cfg

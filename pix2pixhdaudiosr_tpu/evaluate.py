@@ -26,10 +26,11 @@ from .utils import CheckpointManager
 def main(argv=None, cfg: Optional[Config] = None) -> None:
     from .utils.compile_cache import enable_compile_cache
     enable_compile_cache()
-    from .utils.watchdog import backend_watchdog
-    backend_watchdog()
     if cfg is None:
         cfg = parse_config(argv, is_train=False)
+    # after parse_config: a config typo / --help must not pay TPU bring-up
+    from .utils.watchdog import backend_watchdog
+    backend_watchdog()
 
     files = discover_files(cfg.dataroot, cfg.max_dataset_size)
     dataset = AudioDataset(cfg.dataroot, cfg.lr_sampling_rate,

@@ -25,6 +25,30 @@ from .utils import CheckpointManager, Visualizer
 from .utils.spectro_img import compute_visuals
 
 
+def plan_cp_padding(length: int, hop: int, win: int, center: bool,
+                    shards: int, stride: int):
+    """The cp_generate padding contract, as a pure function: pad a
+    `length`-sample file to `need` samples so its frame count `t_frames`
+    divides shards x stride under the reference codec pad rule. Returns
+    (need, t_frames) or None when no hop-aligned padding exists.
+
+    Envelope (pinned by tests/test_halo_cp.py::test_cp_padding_envelope):
+    `need % hop == win % hop` in both center modes, so a config plans iff
+    win_length is a multiple of hop_length (e.g. the default 512/256; a
+    512/160 config bails to the chunked path)."""
+    frames = Pix2PixHDSystem.frames_for(length, hop, win, center)
+    q = shards * stride                 # per-shard frames must cover stride
+    t_frames = -(-frames // q) * q
+    # invert the codec pad rule for a hop-aligned length (exact when
+    # seg % hop == 0, which `need` is by construction)
+    start = hop if center else 0
+    need = (t_frames - 1) * hop + win - 2 * start
+    if (need % hop or need < length
+            or Pix2PixHDSystem.frames_for(need, hop, win, center) != t_frames):
+        return None
+    return need, t_frames
+
+
 def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
     """--cp_shards N: one seamless full-length forward, frame axis sharded
     over an N-device cp mesh (parallel/halo.py make_cp_generator). The file
@@ -49,19 +73,13 @@ def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
         stride *= 2 ** cfg.n_local_enhancers
     hop, win, center = cfg.hop_length, cfg.win_length, cfg.center
     length = int(np.asarray(lr_audio).shape[-1])
-    frames = Pix2PixHDSystem.frames_for(length, hop, win, center)
-    q = n * stride                      # per-shard frames must cover stride
-    t_frames = -(-frames // q) * q
-    # invert the codec pad rule for a hop-aligned length (exact when
-    # seg % hop == 0, which `need` is by construction)
-    start = hop if center else 0
-    need = (t_frames - 1) * hop + win - 2 * start
-    if (need % hop or need < length
-            or Pix2PixHDSystem.frames_for(need, hop, win, center) != t_frames):
+    plan = plan_cp_padding(length, hop, win, center, n, stride)
+    if plan is None:
         raise SystemExit(
             f"--cp_shards cannot pad this config to a shardable frame "
             f"count (win_length {win}, hop_length {hop}, center {center}); "
             f"use the chunked path")
+    need, t_frames = plan
     lr_full = np.zeros(need, np.float32)
     lr_full[: min(length, need)] = np.asarray(lr_audio, np.float32)[:need]
 
@@ -84,16 +102,24 @@ def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
 def main(argv=None, cfg: Optional[Config] = None) -> None:
     from .utils.compile_cache import enable_compile_cache
     enable_compile_cache()
-    from .utils.watchdog import backend_watchdog
-    backend_watchdog()
     if cfg is None:
         cfg = parse_config(argv, is_train=False)
+    # after parse_config: a config typo / --help must not pay TPU bring-up
+    from .utils.watchdog import backend_watchdog
+    backend_watchdog()
     if cfg.tp_shards > 1 and cfg.cp_shards > 1:
         # cp_generate's shard_map replicates params over the cp mesh, which
         # would silently undo the TP sharding (and its memory saving);
         # checked before any restore/compile — it's a pure-config error
         raise SystemExit("--tp_shards and --cp_shards cannot be combined in "
                          "generate; pick one parallelism for inference")
+    if (cfg.int8_trunk or cfg.fused_enhancer) and cfg.cp_shards > 1:
+        # the int8-MXU resblock stack (ops/quant.py) and the Pallas fused
+        # enhancer chain are not halo/CP-aware; make_cp_generator would
+        # silently rebuild the plain XLA generator instead
+        raise SystemExit("--int8_trunk/--fused_enhancer cannot be combined "
+                         "with --cp_shards in generate; these serving "
+                         "kernels are not context-parallel-aware")
     visualizer = Visualizer(cfg.replace(is_train=True))  # web dir on
 
     ds = AudioTestDataset(cfg.dataroot, cfg.lr_sampling_rate,

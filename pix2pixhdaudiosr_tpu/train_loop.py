@@ -41,10 +41,11 @@ def lcm(a: int, b: int) -> int:
 def main(argv=None, cfg: Optional[Config] = None) -> None:
     from .utils.compile_cache import enable_compile_cache
     enable_compile_cache()
-    from .utils.watchdog import backend_watchdog
-    backend_watchdog()
     if cfg is None:
         cfg = parse_config(argv, is_train=True)
+    # after parse_config: a config typo / --help must not pay TPU bring-up
+    from .utils.watchdog import backend_watchdog
+    backend_watchdog()
     np.random.seed(cfg.seed)
 
     ckpt = CheckpointManager(cfg.expr_dir)

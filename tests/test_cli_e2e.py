@@ -96,6 +96,14 @@ def test_train_generate_evaluate(env):
     with _pytest.raises(SystemExit, match="cannot be combined"):
         gen_main(cfg=bad)
 
+    # int8/fused serving kernels are not CP-aware — must reject, not
+    # silently serve a full-precision trunk (ADVICE r3)
+    bad2 = tiny_cfg(env, name="e2e_gen_int8cp", dataroot=wav0,
+                    load_pretrain=expr, phase="test", serial_batches=True,
+                    is_train=False, cp_shards=2, int8_trunk=True)
+    with _pytest.raises(SystemExit, match="context-parallel-aware"):
+        gen_main(cfg=bad2)
+
     # ---- standalone evaluation
     from pix2pixhdaudiosr_tpu.evaluate import main as eval_main
     ecfg = tiny_cfg(env, name="e2e_eval", load_pretrain=expr, niter=1,

@@ -104,6 +104,26 @@ def test_seg_audio(tmp_path):
     assert not (tmp_path / "b.wav").exists()
 
 
+def test_seg_audio_short_file(tmp_path):
+    """Files no longer than one segment are still emitted as segment 000
+    (ffmpeg keeps the tail), so --delete never silently drops audio."""
+    import os
+    import sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import seg_audio
+    from pix2pixhdaudiosr_tpu.data import read_wav, write_wav
+
+    rate = 48000
+    x = np.linspace(-0.4, 0.4, int(0.5 * rate)).astype(np.float32)
+    write_wav(str(tmp_path / "short.wav"), x, rate)
+    n = seg_audio.segment_file(str(tmp_path / "short.wav"), 1.2, delete=True)
+    assert n == 1
+    assert not (tmp_path / "short.wav").exists()
+    out = read_wav(str(tmp_path / "short000.wav"))[0].reshape(-1)
+    np.testing.assert_allclose(out, x, atol=2e-4)
+
+
 def test_seg_audio_stereo(tmp_path):
     import os
     import sys

@@ -31,8 +31,16 @@ def segment_file(path: str, seconds: float, delete: bool) -> int:
     if audio.ndim == 1:
         audio = audio[None]
     seg = int(round(seconds * rate))
-    if seg <= 0 or audio.shape[1] <= seg:
+    if seg <= 0:
         return 0
+    if audio.shape[1] <= seg:
+        # ffmpeg's segmenter still emits one (short) segment for files no
+        # longer than segment_time; match that so --delete never loses audio
+        base = os.path.splitext(path)[0]
+        write_wav(f"{base}000.wav", audio, rate)  # never equals `path`
+        if delete:
+            os.remove(path)
+        return 1
     base = os.path.splitext(path)[0]
     n = 0
     for off in range(0, audio.shape[1], seg):
