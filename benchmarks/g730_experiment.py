@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Stand up the reference's DEFAULT 730M-param generator on the real chip
+(VERDICT r3 ask 2).
+
+The reference's default `netG=local` config is G9L3@64 = 730,713,346 params
+(reference train_script.sh comment under mdct_hifitts_pretrain_explict_pha2;
+this repo's exact-count oracle: tests/test_networks.py LADDER[0]). This repo
+built --remat_g, ZeRO-1 and FSDP explicitly for that scale — this script
+produces the evidence:
+
+  (a) serve: bf16 params (~1.46 GB) through the generate-style forward,
+      batch sweep, ms/batch + frames/s;
+  (b) train: one real donated two-optimizer GAN step at the largest batch
+      that fits 16 GB HBM, walking down (batch, remat, mu_dtype) attempts;
+  (c) on any OOM the error text / memory analysis is recorded verbatim so
+      the measured HBM requirement is part of the record.
+
+Run on the TPU: python benchmarks/g730_experiment.py
+(expect long remote compiles: the 156M train step took ~5 min; this is
+4.7x the params — run with run_in_background and patience).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+_sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+
+def g730_cfg():
+    from pix2pixhdaudiosr_tpu.config import Config
+    return Config(net_g="local", ngf=64, n_blocks_global=9, n_blocks_local=3,
+                  n_downsample_global=4, n_local_enhancers=1,
+                  input_nc=2, output_nc=2, label_nc=0, no_instance=True,
+                  explicit_encoding=True, mask_mode="mode2",
+                  no_vgg_loss=True, compute_dtype="bfloat16")
+
+
+def _host_params(shapes, seed=0):
+    rng_np = np.random.default_rng(seed)
+    return jax.tree.map(
+        lambda s: jax.device_put(
+            (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
+
+
+def _mem_info(compiled):
+    try:
+        ma = compiled.memory_analysis()
+        return {k: round(getattr(ma, k, 0) / 1e9, 2)
+                for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                          "temp_size_in_bytes", "generated_code_size_in_bytes")
+                if hasattr(ma, k)}
+    except Exception:
+        return None
+
+
+def serve(system, cfg, batches, res):
+    shapes = jax.eval_shape(system.netG.init, jax.random.PRNGKey(0),
+                            jnp.zeros(system.spectro_shape(1), jnp.float32))
+    n_p = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    res["n_params_g"] = n_p
+    print(f"G params: {n_p:,}", flush=True)
+    params = _host_params(shapes)
+    params = jax.tree.map(lambda a: a.astype(system.dtype), params)
+
+    for b in batches:
+        key = f"serve_b{b}"
+        try:
+            @jax.jit
+            def fwd(p, a, k):
+                return system.inference(p, a, k)[0]
+
+            audio = jnp.zeros((b, cfg.segment_length), jnp.float32)
+            t0 = time.time()
+            compiled = fwd.lower(params, audio, jax.random.PRNGKey(1)).compile()
+            cs = time.time() - t0
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+
+            def run(m):
+                o = None
+                t0 = time.perf_counter()
+                for _ in range(m):
+                    o = compiled(params, audio, jax.random.PRNGKey(1))
+                float(_sum(o))
+                return time.perf_counter() - t0
+
+            run(2)
+            t2, tn = run(2), run(2 + 6)
+            ms = (tn - t2) / 6 * 1e3
+            flops = float(ca.get("flops", 0.0))
+            res[key] = {
+                "ms_per_batch": round(ms, 1),
+                "frames_per_sec": round(b * system.n_frames / (ms / 1e3), 1),
+                "samples_per_sec": round(
+                    b * cfg.segment_length / (ms / 1e3), 1),
+                "achieved_tflops": round(flops / 1e12 / (ms / 1e3), 1),
+                "compile_s": round(cs, 1),
+                "memory": _mem_info(compiled),
+            }
+        except Exception as e:
+            res[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
+        print(key, json.dumps(res[key]), flush=True)
+        if "error" in res[key]:
+            break  # larger batches will also OOM
+
+
+def train(system, cfg, attempts, res):
+    from pix2pixhdaudiosr_tpu.trainer import (TrainState, _split_params,
+                                              make_optimizer, make_train_step)
+
+    for b, remat, mu_bf16 in attempts:
+        key = f"train_b{b}_remat-{remat or 'none'}" + \
+              ("_mubf16" if mu_bf16 else "")
+        try:
+            ocfg = cfg.replace(adam_mu_bf16=mu_bf16)
+            opt_g, opt_d = make_optimizer(ocfg), make_optimizer(ocfg)
+            sys_r = system
+            if remat:
+                from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+                sys_r = Pix2PixHDSystem(cfg.replace(remat_g=remat))
+            shapes = jax.eval_shape(
+                lambda k: sys_r.init_params(k, batch=b), jax.random.PRNGKey(0))
+            params = _host_params(shapes)
+
+            @jax.jit
+            def init_opts(p):
+                pg, pd = _split_params(p)
+                return opt_g.init(pg), opt_d.init(pd)
+
+            og, od = init_opts(params)
+            state = TrainState(params=params, opt_g=og, opt_d=od,
+                               step=jnp.zeros((), jnp.int32))
+            step = make_train_step(sys_r, opt_g, opt_d, donate=True)
+            rng_np = np.random.default_rng(0)
+            data = {
+                "label": jnp.asarray(rng_np.standard_normal(
+                    (b, cfg.segment_length)).astype(np.float32) * 0.1),
+                "image": jnp.asarray(rng_np.standard_normal(
+                    (b, cfg.segment_length)).astype(np.float32) * 0.1),
+            }
+            k = jax.random.PRNGKey(1)
+            t0 = time.time()
+            compiled = step.lower(state, data, k, None, fix_global=False,
+                                  with_visuals=False).compile()
+            cs = time.time() - t0
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            mem = _mem_info(compiled)
+
+            def run(m):
+                nonlocal state
+                o = None
+                t0 = time.perf_counter()
+                for _ in range(m):
+                    o = compiled(state, data, k, None)
+                    state = o[0]
+                float(_sum(o[1]["G_GAN"]))
+                return time.perf_counter() - t0
+
+            run(1)
+            t1, tn = run(1), run(1 + 3)
+            ms = (tn - t1) / 3 * 1e3
+            res[key] = {
+                "ms_per_step": round(ms, 1),
+                "segments_per_sec": round(b / (ms / 1e3), 2),
+                "gbytes_accessed": round(
+                    float(ca.get("bytes accessed", 0.0)) / 1e9, 1),
+                "tflops": round(float(ca.get("flops", 0.0)) / 1e12, 2),
+                "compile_s": round(cs, 1),
+                "memory": mem,
+            }
+            print(key, json.dumps(res[key]), flush=True)
+            return  # largest fitting attempt wins; stop walking down
+        except Exception as e:
+            res[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
+            print(key, json.dumps(res[key]), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--serve_batches", type=int, nargs="*",
+                    default=[16, 32, 64])
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--skip_serve", action="store_true")
+    args = ap.parse_args()
+
+    from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
+
+    cfg = g730_cfg()
+    system = Pix2PixHDSystem(cfg)
+    res = {}
+    if not args.skip_serve:
+        serve(system, cfg, args.serve_batches, res)
+    if not args.skip_train:
+        # walk down until one fits; remat/mu-bf16 are the memory knobs built
+        # for this scale (BASELINE.md remat bullet; trainstep_hbm.py)
+        train(system, cfg, [(16, None, False),
+                            (16, "full", False),
+                            (8, "full", False),
+                            (8, "full", True),
+                            (4, "full", True)], res)
+
+    out = os.path.join(os.path.dirname(__file__), "g730_results.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,9 @@ elsewhere.
 
 CPU-runnable (tiny generator; the effect is architectural, not scale- or
 training-dependent). Usage: python benchmarks/seam_experiment.py
+[--wav /path/to/speech.wav] — with --wav the LR input is real speech,
+constructed exactly like generate's AudioTestDataset (resample 48k->8k->48k),
+instead of the synthetic harmonic default.
 """
 
 import json
@@ -61,10 +64,18 @@ def seam_stats(audio: np.ndarray, seams, frame: int = 1024):
 
 
 def main():
+    import argparse
+
     from pix2pixhdaudiosr_tpu.config import Config
     from pix2pixhdaudiosr_tpu.generate import cp_generate
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
     from pix2pixhdaudiosr_tpu.trainer import init_state
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wav", default=None,
+                    help="real speech file (48 kHz); LR constructed like "
+                         "AudioTestDataset (resample down->up)")
+    args = ap.parse_args()
 
     cfg = Config(net_g="global", ngf=8, n_downsample_global=2,
                  n_blocks_global=1, input_nc=2, output_nc=2, label_nc=0,
@@ -74,14 +85,23 @@ def main():
     state, *_ = init_state(system, jax.random.PRNGKey(0), batch=1)
     params_g = state.params["G"]
 
-    # long synthetic speech-like harmonic signal: 8 segments
     seg = cfg.segment_length
-    n_seg = 8
-    t = np.arange(n_seg * seg) / 48000
-    f0 = 180 + 40 * np.sin(2 * np.pi * 0.7 * t)          # slow pitch drift
-    phase = 2 * np.pi * np.cumsum(f0) / 48000
-    lr = sum(0.5 / k * np.sin(k * phase) for k in (1, 2, 3, 4))
-    lr = (lr * (0.6 + 0.4 * np.sin(2 * np.pi * 1.3 * t))).astype(np.float32)
+    if args.wav:
+        # real speech: same LR construction as the generate CLI
+        from pix2pixhdaudiosr_tpu.data import AudioTestDataset
+        ds = AudioTestDataset(args.wav, cfg.lr_sampling_rate,
+                              cfg.hr_sampling_rate, seg)
+        n_seg = ds.lr_audio.size // seg
+        lr = np.asarray(ds.lr_audio[: n_seg * seg], np.float32)
+        print(f"real speech: {args.wav} -> {n_seg} chunks")
+    else:
+        # long synthetic speech-like harmonic signal: 8 segments
+        n_seg = 8
+        t = np.arange(n_seg * seg) / 48000
+        f0 = 180 + 40 * np.sin(2 * np.pi * 0.7 * t)      # slow pitch drift
+        phase = 2 * np.pi * np.cumsum(f0) / 48000
+        lr = sum(0.5 / k * np.sin(k * phase) for k in (1, 2, 3, 4))
+        lr = (lr * (0.6 + 0.4 * np.sin(2 * np.pi * 1.3 * t))).astype(np.float32)
 
     # chunked path: independent segments (the reference behavior)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -108,7 +128,8 @@ def main():
         "cp": seam_stats(cp[:n], seams),
     }
     print(json.dumps(res, indent=2))
-    out = os.path.join(os.path.dirname(__file__), "seam_results.json")
+    name = "seam_results_real.json" if args.wav else "seam_results.json"
+    out = os.path.join(os.path.dirname(__file__), name)
     with open(out, "w") as f:
         json.dump(res, f, indent=2)
     print("wrote", out)

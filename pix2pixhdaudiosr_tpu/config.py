@@ -165,6 +165,17 @@ class Config:
     #                       Bit-exact grads; trades HBM capacity for ~8-20%
     #                       step time on v5e (BASELINE.md remat experiment) —
     #                       for models too large to train without it
+    hifigan_scales: int = 3  # MSD scale count for --use_hifigan_D (the
+    #                          reference's submodule exposes the same
+    #                          constructor knobs; defaults = HiFi-GAN paper)
+    hifigan_periods: str = "2,3,5,7,11"  # MPD periods, comma-separated
+    adam_mu_bf16: bool = False  # store the Adam FIRST moment in bf16
+    #                             (optax mu_dtype; nu stays f32 for update
+    #                             precision). A memory knob for
+    #                             beyond-flagship models: saves 4 bytes/param
+    #                             of optimizer state (~2.9 GB on the 730M
+    #                             default G) — see benchmarks/trainstep_hbm.py
+    #                             for the measured flagship-step effect
     fast_conv: bool = True  # Toeplitz lane-packing for the tiny-channel
     #                         final convs (models/layers.py conv_toeplitz_t;
     #                         exact to f32 roundoff; --no_fast_conv disables)

@@ -87,7 +87,10 @@ class Pix2PixHDSystem:
             2, cfg.ndf, cfg.n_layers_d, use_sigmoid=cfg.no_lsgan,
             num_d=cfg.num_d, get_interm_feat=False, dtype=self.dtype) \
             if cfg.use_time_d else None
-        self.hifigan_D = HiFiGANMultiScaleMultiPeriodDiscriminator(dtype=self.dtype) \
+        self.hifigan_D = HiFiGANMultiScaleMultiPeriodDiscriminator(
+            periods=tuple(int(p) for p in
+                          str(cfg.hifigan_periods).split(",") if p),
+            n_scales=cfg.hifigan_scales, dtype=self.dtype) \
             if cfg.use_hifigan_d else None
         # instance-feature encoder (reference models/pix2pixHD_model.py:67-70;
         # effectively deprecated for audio but part of the API surface)

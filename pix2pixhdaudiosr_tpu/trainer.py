@@ -40,8 +40,13 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    return optax.inject_hyperparams(optax.adam)(
-        learning_rate=cfg.lr, b1=cfg.beta1, b2=0.999)
+    # --adam_mu_bf16: first moment stored bf16 (memory knob for
+    # beyond-flagship models, e.g. the 730M default G — config.py).
+    # mu_dtype must stay static or inject_hyperparams traces it to an array.
+    kw = {"mu_dtype": jnp.bfloat16} if cfg.adam_mu_bf16 else {}
+    return optax.inject_hyperparams(optax.adam,
+                                    static_args=("mu_dtype",))(
+        learning_rate=cfg.lr, b1=cfg.beta1, b2=0.999, **kw)
 
 
 def _split_params(params):

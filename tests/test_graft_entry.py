@@ -29,7 +29,7 @@ def test_dryrun_multichip_subprocess_no_conftest():
         [sys.executable, "-c",
          "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
         cwd=REPO, env=_driver_env(), capture_output=True, text=True,
-        timeout=900)
+        timeout=1800)  # 10 legs; single-core CI hosts compile slowly
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     out = proc.stdout
     # All four parallelism legs must report success.

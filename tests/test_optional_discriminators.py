@@ -137,6 +137,53 @@ def test_hifigan_norm_scheme():
 
 
 @pytest.mark.slow
+def test_optional_ds_bf16_dp_8dev():
+    """VERDICT r3 ask 4: dp x bf16 x time-D/hifigan-D — the path whose dtype
+    bug history (weight-norm VJP, commit 19f8c73) makes it the likeliest
+    home for a sharding regression. One 8-device data-parallel step must
+    (a) run finite, (b) update both optional D trees, and (c) agree with the
+    identical single-device step on the same batch (same jitted math — dp
+    only adds sharding constraints, so losses match to bf16 reduction
+    noise)."""
+    from pix2pixhdaudiosr_tpu.parallel import make_mesh, replicated, shard_batch
+
+    assert len(jax.devices()) == 8
+    # 32-frame segments keep the 8x-batch double run affordable on the
+    # single-core CI host; the loss structure and dtypes are unchanged
+    cfg = Config(use_time_d=True, use_hifigan_d=True,
+                 **{**BASE, "compute_dtype": "bfloat16",
+                    "segment_length": 31 * 256})
+    system = Pix2PixHDSystem(cfg)
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=8)
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "label": (rng.standard_normal((8, cfg.segment_length)) * 0.1
+                  ).astype(np.float32),
+        "image": (rng.standard_normal((8, cfg.segment_length)) * 0.1
+                  ).astype(np.float32),
+    }
+    # single-device run first (state is consumed as a template only)
+    _, want, _ = step(state, batch, jax.random.PRNGKey(1), None,
+                      fix_global=False, with_visuals=False)
+
+    mesh = make_mesh((-1,), ("data",))
+    dp_state = jax.device_put(state, replicated(mesh))
+    new_state, losses, _ = step(dp_state, shard_batch(batch, mesh),
+                                jax.random.PRNGKey(1), None,
+                                fix_global=False, with_visuals=False)
+    assert {"D_fake_t", "D_real_t", "G_GAN_t"} <= set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+        np.testing.assert_allclose(float(v), float(want[k]), rtol=0.05,
+                                   atol=0.02, err_msg=k)
+    for name in ("time_D", "hifigan_D"):
+        before = jax.tree.leaves(state.params[name])[0]
+        after = jax.tree.leaves(new_state.params[name])[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after)), name
+
+
+@pytest.mark.slow
 def test_optional_ds_bf16_step():
     """Regression: bf16 training with both optional Ds. The weight-normed
     conv's explicit preferred_element_type=f32 made its VJP emit mixed

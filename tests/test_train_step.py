@@ -172,3 +172,27 @@ def test_remat_g_grads_match(tiny_setup):
         assert float(losses["G_GAN"]) == pytest.approx(
             float(base_losses["G_GAN"]))
         np.testing.assert_array_equal(flat, base, err_msg=mode)
+
+
+def test_adam_mu_bf16_knob():
+    """--adam_mu_bf16 stores the Adam first moment in bf16 (nu stays f32)
+    and the step still runs finite and updates params — the optimizer-state
+    memory knob for beyond-flagship models (config.py adam_mu_bf16)."""
+    system = Pix2PixHDSystem(TINY.replace(adam_mu_bf16=True,
+                                          segment_length=31 * 256))
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=2)
+    dtypes = {x.dtype for x in jax.tree.leaves(state.opt_g)
+              if hasattr(x, "dtype")}
+    assert jnp.dtype(jnp.bfloat16) in dtypes and jnp.dtype(jnp.float32) in dtypes
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    batch = synth_batch(2, 31 * 256, np.random.default_rng(0))
+    new_state, losses, _ = step(state, batch, jax.random.PRNGKey(1), None,
+                                fix_global=False, with_visuals=False)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    a = jax.tree.leaves(state.params["G"])[0]
+    b = jax.tree.leaves(new_state.params["G"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # the moments kept their storage dtypes through the update
+    dtypes2 = {x.dtype for x in jax.tree.leaves(new_state.opt_g)
+               if hasattr(x, "dtype")}
+    assert jnp.dtype(jnp.bfloat16) in dtypes2
