@@ -142,7 +142,10 @@ def read_events(path: str):
         value = None
         while i < len(payload):
             key = payload[i]
-            if key == 0x11:  # field 1 wire 1 (wall_time)
+            if key == 0x09:  # field 1 wire 1 (wall_time, fixed64 double)
+                # must be skipped as 8 raw bytes: byte-scanning through the
+                # double misparses mantissa bytes that equal 0x10/0x2A as
+                # step/summary keys (time-dependent flake, caught in CI)
                 i += 9
             elif key == 0x10:  # field 2 wire 0 (step)
                 i += 1
