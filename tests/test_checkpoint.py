@@ -155,3 +155,27 @@ def test_continue_train_carries_weights(tmp_path):
         [l for l in jax.tree.leaves(saved["params"]["G"])
          if getattr(l, "ndim", 0) == 4][0])
     np.testing.assert_array_equal(seen["k"], want)
+
+
+def test_restore_across_adam_mu_dtype_flip(tmp_path):
+    """Flipping --adam_mu_bf16 between runs must restore cleanly: the
+    tolerant merge casts shape-matching leaves to the TARGET's dtype, so an
+    f32-moment checkpoint loads into a bf16-moment state and vice versa."""
+    import jax.numpy as jnp
+
+    sys_f32 = Pix2PixHDSystem(CFG)
+    sys_bf16 = Pix2PixHDSystem(CFG.replace(adam_mu_bf16=True))
+    state, *_ = init_state(sys_f32, jax.random.PRNGKey(0))
+    cm = CheckpointManager(str(tmp_path / "expr"))
+    cm.save(state, "latest")
+
+    target, *_ = init_state(sys_bf16, jax.random.PRNGKey(1))
+    restored = cm.restore("latest", target=jax.device_get(target))
+    # weights carried from the f32 run
+    a = jax.tree.leaves(state.params["G"])[0]
+    b = jax.tree.leaves(restored.params["G"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # moment dtypes follow the TARGET config (bf16 mu present)
+    dtypes = {x.dtype for x in jax.tree.leaves(restored.opt_g)
+              if hasattr(x, "dtype")}
+    assert jnp.dtype(jnp.bfloat16) in dtypes
