@@ -37,6 +37,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--remat", choices=["full", "dots"], default=None,
+                    help="also apply --remat_g at this scale (peak-RSS "
+                         "comparison vs the no-remat run)")
+    ap.add_argument("--mu_bf16", action="store_true")
     args = ap.parse_args()
 
     from benchmarks.g730_experiment import g730_cfg
@@ -46,8 +50,13 @@ def main():
     from pix2pixhdaudiosr_tpu.trainer import init_state, make_train_step
 
     cfg = g730_cfg().replace(compute_dtype="float32")  # CPU has no bf16 units
+    if args.remat:
+        cfg = cfg.replace(remat_g=args.remat)
+    if args.mu_bf16:
+        cfg = cfg.replace(adam_mu_bf16=True)
     system = Pix2PixHDSystem(cfg)
-    res = {"batch": args.batch, "segment_length": cfg.segment_length}
+    res = {"batch": args.batch, "segment_length": cfg.segment_length,
+           "remat_g": args.remat, "adam_mu_bf16": args.mu_bf16}
 
     t0 = time.time()
     state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0),
@@ -96,7 +105,10 @@ def main():
         (4 + 2 + 4) * n_p / 8 / 1e9, 2)
     print(json.dumps(res, indent=1), flush=True)
 
-    out = os.path.join(os.path.dirname(__file__), "g730_fsdp_dryrun.json")
+    tag = f"_{args.remat}" if args.remat else ""
+    tag += "_mubf16" if args.mu_bf16 else ""
+    out = os.path.join(os.path.dirname(__file__),
+                       f"g730_fsdp_dryrun{tag}.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", out)
