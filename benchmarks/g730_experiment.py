@@ -68,12 +68,14 @@ def _mem_info(compiled):
         return None
 
 
-def serve(system, cfg, batches, res):
+def serve(system, cfg, batches, res, expect_params=730_713_346):
     shapes = jax.eval_shape(system.netG.init, jax.random.PRNGKey(0),
                             jnp.zeros(system.spectro_shape(1), jnp.float32))
     n_p = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     res["n_params_g"] = n_p
     print(f"G params: {n_p:,}", flush=True)
+    if expect_params is not None:
+        assert n_p == expect_params, n_p
     params = _host_params(shapes)
     params = jax.tree.map(lambda a: a.astype(system.dtype), params)
 
@@ -197,25 +199,38 @@ def main():
                     default=[16, 32, 64])
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--skip_serve", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke mode: shrink the config to exercise "
+                         "every harness code path without the chip")
     args = ap.parse_args()
 
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
 
     cfg = g730_cfg()
+    if args.tiny:
+        cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
+                          n_downsample_global=2, ndf=8, n_layers_d=2,
+                          compute_dtype="float32")
+        args.serve_batches = [2]
     system = Pix2PixHDSystem(cfg)
     res = {}
     if not args.skip_serve:
-        serve(system, cfg, args.serve_batches, res)
+        serve(system, cfg, args.serve_batches, res,
+              expect_params=None if args.tiny else 730_713_346)
     if not args.skip_train:
         # walk down until one fits; remat/mu-bf16 are the memory knobs built
         # for this scale (BASELINE.md remat bullet; trainstep_hbm.py)
-        train(system, cfg, [(16, None, False),
-                            (16, "full", False),
-                            (8, "full", False),
-                            (8, "full", True),
-                            (4, "full", True)], res)
+        attempts = [(2, "full", True)] if args.tiny else \
+                   [(16, None, False),
+                    (16, "full", False),
+                    (8, "full", False),
+                    (8, "full", True),
+                    (4, "full", True)]
+        train(system, cfg, attempts, res)
 
-    out = os.path.join(os.path.dirname(__file__), "g730_results.json")
+    out = os.path.join(os.path.dirname(__file__),
+                       "g730_results_tiny.json" if args.tiny
+                       else "g730_results.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", out)
