@@ -208,6 +208,10 @@ def main():
 
     cfg = g730_cfg()
     if args.tiny:
+        # JAX_PLATFORMS=cpu alone is too late on this image (sitecustomize's
+        # axon register wins); the live-config update is what tests/conftest
+        # uses, and it must land before any backend init.
+        jax.config.update("jax_platforms", "cpu")
         cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
                           n_downsample_global=2, ndf=8, n_layers_d=2,
                           compute_dtype="float32")

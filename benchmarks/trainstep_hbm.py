@@ -127,16 +127,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--skip_bf16_mu", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke mode: shrink config+batch to exercise "
+                         "every harness code path without the chip")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
 
     cfg = _flagship_cfg()
+    iters = 6
+    if args.tiny:
+        # JAX_PLATFORMS=cpu alone is too late on this image (sitecustomize's
+        # axon register wins); the live-config update is what tests/conftest
+        # uses, and it must land before any backend init.
+        jax.config.update("jax_platforms", "cpu")
+        cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
+                          n_downsample_global=2, ndf=8, n_layers_d=2,
+                          segment_length=(32 - 1) * 256,
+                          compute_dtype="float32")
+        args.batch, iters = 2, 2
     system = Pix2PixHDSystem(cfg)
     res = {"batch": args.batch}
 
-    ms, gbytes, flops, cs = measure_step(system, cfg, args.batch)
+    ms, gbytes, flops, cs = measure_step(system, cfg, args.batch, iters=iters)
     res["baseline"] = {
         "ms_per_step": round(ms, 1),
         "gbytes_accessed": round(gbytes, 1),
@@ -161,7 +175,8 @@ def main():
     if not args.skip_bf16_mu:
         try:
             ms2, gb2, fl2, cs2 = measure_step(system, cfg, args.batch,
-                                              mu_dtype=jnp.bfloat16)
+                                              mu_dtype=jnp.bfloat16,
+                                              iters=iters)
             res["adam_mu_bf16"] = {
                 "ms_per_step": round(ms2, 1),
                 "gbytes_accessed": round(gb2, 1),
@@ -192,7 +207,9 @@ def main():
     }
     print("decomposition", json.dumps(res["decomposition"]), flush=True)
 
-    out = os.path.join(os.path.dirname(__file__), "trainstep_hbm.json")
+    out = os.path.join(os.path.dirname(__file__),
+                       "trainstep_hbm_tiny.json" if args.tiny
+                       else "trainstep_hbm.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", out)
