@@ -255,6 +255,31 @@ class Config:
 # ---------------------------------------------------------------------------
 # CLI layer
 # ---------------------------------------------------------------------------
+
+# Reference flags that have no meaning on this runtime, accepted so the
+# reference's committed recipes (README.md:138-171, train_script.sh,
+# test/ablation_study*.sh — all of which pass --gpu_id/--fp16/...) run
+# verbatim. Each entry: flag -> (argparse default, notice printed when the
+# user sets a non-default value). They are parsed, reported, and dropped —
+# never stored in Config. (reference options/base_options.py:14,22,27-28,
+# 36,38,44; options/test_options.py:6-16)
+_IGNORED_REFERENCE_FLAGS = {
+    "gpu_ids": ("0", "device selection is JAX's (JAX_PLATFORMS, --mesh_shape)"),
+    "local_rank": (0, "multi-host setup is jax.distributed "
+                      "(parallel/mesh.py:initialize_distributed)"),
+    "loadSize": (1024, "image-path flag; the audio pipeline has no resize"),
+    "fineSize": (512, "image-path flag; the audio pipeline has no crop"),
+    "resize_or_crop": ("scale_width", "image-path flag"),
+    "no_flip": (False, "image-path flag; audio is never flipped"),
+    "display_winsize": (512, "image-path display flag"),
+    "ntest": (None, "the eval CLI evaluates the whole csv (--how_many caps it)"),
+    "aspect_ratio": (1.0, "image-path flag"),
+    "export_onnx": (None, "ONNX/TRT export is replaced by XLA AOT: "
+                          "tools/aot_engine.py"),
+    "engine": (None, "TRT engines are replaced by XLA AOT: tools/aot_engine.py"),
+    "onnx": (None, "ONNX/TRT is replaced by XLA AOT: tools/aot_engine.py"),
+}
+
 _FLAG_ALIASES = {
     # reference spelling -> dataclass field
     "batchSize": "batch_size",
@@ -291,6 +316,14 @@ def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
         else:
             typ = type(default) if default is not None else str
             p.add_argument(*names, dest=f.name, type=typ, default=default)
+    for flag, (default, _) in _IGNORED_REFERENCE_FLAGS.items():
+        if isinstance(default, bool):
+            p.add_argument("--" + flag, dest="_ignored_" + flag,
+                           action="store_true", default=default)
+        else:
+            typ = type(default) if default is not None else str
+            p.add_argument("--" + flag, dest="_ignored_" + flag, type=typ,
+                           default=default)
     return p
 
 
@@ -300,6 +333,10 @@ def parse_config(argv=None, defaults: Optional[Config] = None,
     reference options/base_options.py:74-108."""
     ns = build_parser(defaults).parse_args(argv)
     kw = vars(ns)
+    for flag, (default, note) in _IGNORED_REFERENCE_FLAGS.items():
+        value = kw.pop("_ignored_" + flag)
+        if value != default:
+            print(f"[config] --{flag} {value}: ignored on this runtime — {note}")
     if kw.get("mesh_shape") is None:
         kw["mesh_shape"] = (defaults or Config()).mesh_shape
     elif isinstance(kw["mesh_shape"], str):

@@ -24,6 +24,60 @@ def test_reference_flag_aliases(tmp_path):
     assert cfg.explicit_encoding and cfg.mask_mode == "mode2"
 
 
+def test_reference_readme_recipes_parse_verbatim(capsys):
+    """The reference README's committed train/generate commands
+    (reference README.md:138-171) must run under this CLI unchanged —
+    including flags with no TPU meaning (--gpu_id, --fp16), which are
+    accepted, reported, and dropped."""
+    train_argv = [
+        "--name", "VCTK_G3L2_48ngf",
+        "--dataroot", "/root/VCTK-Corpus/wav48", "--validation_split", "0.01",
+        "--no_instance", "--no_vgg_loss",
+        "--label_nc", "0", "--output_nc", "2", "--input_nc", "2",
+        "--batchSize", "64", "--fp16",
+        "--gpu_id", "0",          # argparse prefix-match of --gpu_ids,
+        "--nThreads", "16",       # exactly as the reference accepts it
+        "--mask", "--mask_mode", "mode2",
+        "--netG", "local",
+        "--niter", "50", "--niter_decay", "50",
+        "--abs_spectro", "--center",
+        "--explicit_encoding",
+        "--n_blocks_global", "3", "--n_blocks_local", "2", "--ngf", "48",
+        "--eval_freq", "5000", "--save_latest_freq", "2000",
+        "--save_epoch_freq", "20",
+    ]
+    cfg = parse_config(train_argv, save=False)
+    assert cfg.batch_size == 64 and cfg.ngf == 48 and cfg.mask_mode == "mode2"
+    assert not hasattr(cfg, "gpu_ids")  # dropped, not stored
+    # --gpu_id 0 equals the reference default, so no notice is emitted
+    assert "ignored" not in capsys.readouterr().out
+
+    gen_argv = [
+        "--name", "GEN_VCTK_G3L2_48ngf",
+        "--checkpoints_dir", "./generated",
+        "--dataroot", "/root/pix2pixHD/test/test.wav",
+        "--load_pretrain", "./checkpoints/VCTK_G3L2_48ngf",
+        "--no_instance", "--no_vgg_loss", "--validation_split", "0",
+        "--label_nc", "0", "--output_nc", "2", "--input_nc", "2",
+        "--batchSize", "4", "--serial_batches",
+        "--gpu_id", "3", "--nThreads", "0",
+        "--mask", "--mask_mode", "mode2",
+        "--netG", "local",
+        "--abs_spectro", "--center", "--explicit_encoding",
+        "--n_blocks_global", "3", "--n_blocks_local", "2", "--ngf", "48",
+        "--phase", "test",
+    ]
+    cfg = parse_config(gen_argv, is_train=False, save=False)
+    assert cfg.phase == "test" and cfg.serial_batches
+    out = capsys.readouterr().out
+    assert "--gpu_ids 3: ignored" in out  # non-default value is reported
+
+    # deprecated image-path / TRT flags are reported with a redirect note
+    cfg = parse_config(["--name", "x", "--export_onnx", "m.onnx"], save=False)
+    out = capsys.readouterr().out
+    assert "tools/aot_engine.py" in out
+
+
 def test_derived_properties():
     cfg = Config(input_nc=2, output_nc=2, label_nc=0, no_instance=True)
     assert cfg.up_ratio == 6.0
