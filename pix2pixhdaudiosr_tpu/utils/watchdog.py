@@ -41,5 +41,17 @@ def backend_watchdog(seconds: float = 240.0) -> None:
 
     threading.Thread(target=boom, daemon=True).start()
     import jax
+    # sitecustomize imports jax at interpreter start, before user code —
+    # by the time a CLI runs, the JAX_PLATFORMS env var has already been
+    # consumed and re-exporting it does nothing. Re-apply it through the
+    # config API so `JAX_PLATFORMS=cpu python train.py ...` behaves the
+    # way every JAX user expects (and CPU drive-runs work when the TPU
+    # relay is down).
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        try:
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass  # backend already initialized; keep whatever it chose
     jax.devices()
     done.set()
