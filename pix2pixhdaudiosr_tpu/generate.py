@@ -30,22 +30,32 @@ def plan_cp_padding(length: int, hop: int, win: int, center: bool,
     """The cp_generate padding contract, as a pure function: pad a
     `length`-sample file to `need` samples so its frame count `t_frames`
     divides shards x stride under the reference codec pad rule. Returns
-    (need, t_frames) or None when no hop-aligned padding exists.
+    (need, t_frames) — every config plans (pinned by
+    tests/test_halo_cp.py::test_cp_padding_envelope).
 
-    Envelope (pinned by tests/test_halo_cp.py::test_cp_padding_envelope):
-    `need % hop == win % hop` in both center modes, so a config plans iff
-    win_length is a multiple of hop_length (e.g. the default 512/256; a
-    512/160 config bails to the chunked path)."""
+    `frames_for(seg)` depends on seg only through ceil(seg/hop) =: K
+    (the codec rounds the padded signal up to the hop grid,
+    system.py:frames_for / reference models/mdct.py:379-391):
+        frames = K + floor((2*start - win) / hop) + 1,  start = hop|0.
+    So for ANY target t_frames a hop-aligned preimage exists:
+        need = (t_frames - 1 - floor((2*start - win) / hop)) * hop,
+    including win % hop != 0 configs (e.g. 512/160), where the round-3
+    formula `(t-1)*hop + win - 2*start` was off-grid and bailed out."""
     frames = Pix2PixHDSystem.frames_for(length, hop, win, center)
-    q = shards * stride                 # per-shard frames must cover stride
-    t_frames = -(-frames // q) * q
-    # invert the codec pad rule for a hop-aligned length (exact when
-    # seg % hop == 0, which `need` is by construction)
     start = hop if center else 0
-    need = (t_frames - 1) * hop + win - 2 * start
-    if (need % hop or need < length
-            or Pix2PixHDSystem.frames_for(need, hop, win, center) != t_frames):
-        return None
+    # the decode side reconstructs (t-1)*hop + win samples, center-cropped by
+    # 2*(win//2) when centered; for hop | win that equals `need` exactly, but
+    # non-dividing codecs come up short (the codec's end-pad rounds past the
+    # last frame), so t must also be large enough for the reconstruction to
+    # cover the original file
+    recon_0 = win - 2 * (win // 2) if center else win     # recon at t = 1
+    t_min = max(frames, -(-(length - recon_0) // hop) + 1)
+    q = shards * stride                 # per-shard frames must cover stride
+    t_frames = -(-t_min // q) * q
+    need = (t_frames - 1 - (2 * start - win) // hop) * hop
+    assert (need % hop == 0 and need >= length
+            and (t_frames - 1) * hop + recon_0 >= length
+            and Pix2PixHDSystem.frames_for(need, hop, win, center) == t_frames)
     return need, t_frames
 
 
@@ -73,13 +83,7 @@ def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
         stride *= 2 ** cfg.n_local_enhancers
     hop, win, center = cfg.hop_length, cfg.win_length, cfg.center
     length = int(np.asarray(lr_audio).shape[-1])
-    plan = plan_cp_padding(length, hop, win, center, n, stride)
-    if plan is None:
-        raise SystemExit(
-            f"--cp_shards cannot pad this config to a shardable frame "
-            f"count (win_length {win}, hop_length {hop}, center {center}); "
-            f"use the chunked path")
-    need, t_frames = plan
+    need, t_frames = plan_cp_padding(length, hop, win, center, n, stride)
     lr_full = np.zeros(need, np.float32)
     lr_full[: min(length, need)] = np.asarray(lr_audio, np.float32)[:need]
 

@@ -77,7 +77,10 @@ class MDCT2(_LappedBase):
     def __call__(self, signal: jnp.ndarray, return_ola: bool = False):
         x = framing.pad_signal(signal, self.hop_length, self.center, self.pad_mode)
         if (self.backend == "pallas" and self._basis is not None
-                and signal.ndim == 2 and not return_ola):
+                and signal.ndim == 2 and not return_ola
+                and self.win_length % self.hop_length == 0):
+            # the fused kernel tiles hop-sized blocks (dct_pallas.py);
+            # non-dividing codecs take the XLA gcd-cell path below
             from .dct_pallas import fused_mdct2
             T = x.shape[-1] // self.hop_length - self.win_length // self.hop_length + 1
             return fused_mdct2(x, jnp.asarray(self._basis, jnp.float32),
@@ -117,7 +120,8 @@ class IMDCT2(_LappedBase):
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
         assert spec.shape[-1] == self.n_fft, (spec.shape, self.n_fft)
         if (self.backend == "pallas" and self._basis is not None
-                and spec.ndim == 3):
+                and spec.ndim == 3
+                and self.win_length % self.hop_length == 0):
             from .dct_pallas import fused_imdct2
             out = fused_imdct2(spec, jnp.asarray(self._basis, jnp.float32),
                                hop=self.hop_length, win=self.win_length)

@@ -101,46 +101,59 @@ def test_cp_generate_cli_path_matches_unsharded(rng_np):
 
 
 @pytest.mark.parametrize("center", [True, False])
-@pytest.mark.parametrize("win,hop,plans", [
-    (512, 256, True),    # default config (reference audio_config.py)
-    (512, 512, True),    # hop == win
-    (1024, 256, True),   # README MDCT4 recipe family (win = 4*hop)
-    (512, 128, True),    # finer hop, still divides
-    (512, 160, False),   # win % hop = 32 -> bail to chunked path
-    (512, 384, False),   # win % hop = 128 -> bail
-    (400, 256, False),   # win % hop = 144 -> bail
+@pytest.mark.parametrize("win,hop", [
+    (512, 256),    # default config (reference audio_config.py)
+    (512, 512),    # hop == win
+    (1024, 256),   # README MDCT4 recipe family (win = 4*hop)
+    (512, 128),    # finer hop, still divides
+    (512, 160),    # win % hop = 32 (bailed out until round 4)
+    (512, 384),    # win % hop = 128
+    (400, 256),    # win % hop = 144
 ])
 @pytest.mark.parametrize("shards,stride", [(1, 4), (4, 8), (8, 16)])
-def test_cp_padding_envelope(win, hop, plans, center, shards, stride):
-    """VERDICT r3 ask 7: the cp_generate guard is a tested contract. The
-    envelope is exactly `win_length % hop_length == 0` (need % hop == win %
-    hop in both center modes); every planning config yields a hop-aligned
-    length whose frame count divides shards*stride and covers the input."""
+def test_cp_padding_envelope(win, hop, center, shards, stride):
+    """VERDICT r3 ask 7: the cp_generate padding plan is a tested contract.
+    Round 4 closed the envelope: frames_for(seg) depends on seg only through
+    ceil(seg/hop), so EVERY (win, hop, center) config — including
+    win % hop != 0 — has a hop-aligned length whose frame count divides
+    shards*stride and covers the input."""
     from pix2pixhdaudiosr_tpu.generate import plan_cp_padding
 
     for length in (32512, 32512 + 1, 100000, hop * 7 + 3, win):
-        plan = plan_cp_padding(length, hop, win, center, shards, stride)
-        assert (plan is not None) == plans, (win, hop, center, length)
-        if plan is None:
-            continue
-        need, t_frames = plan
+        need, t_frames = plan_cp_padding(length, hop, win, center,
+                                         shards, stride)
         assert need >= length and need % hop == 0
         assert t_frames % (shards * stride) == 0
         assert Pix2PixHDSystem.frames_for(need, hop, win, center) == t_frames
 
 
-def test_cp_generate_bails_on_non_dividing_config(rng_np):
+@pytest.mark.slow
+def test_cp_generate_non_dividing_config_matches_unsharded(rng_np):
     """The CLI-level contract of the envelope above: a win%hop!=0 config
-    exits with the documented message instead of serving a wrong length."""
+    (the round-3 bail-out family) now serves seamlessly through the CP path
+    and matches the 1-shard full-length forward."""
     from pix2pixhdaudiosr_tpu.generate import cp_generate
+    from pix2pixhdaudiosr_tpu.trainer import init_state
     cfg = Config(net_g="global", ngf=4, n_downsample_global=2,
                  n_blocks_global=1, input_nc=2, output_nc=2, label_nc=0,
-                 explicit_encoding=True, compute_dtype="float32",
-                 win_length=512, hop_length=160, n_fft=512, cp_shards=2)
+                 explicit_encoding=True, mask_mode="mode2",
+                 compute_dtype="float32",
+                 win_length=512, hop_length=160, n_fft=512,
+                 segment_length=20640)  # 128 frames at hop 160 (center)
     system = Pix2PixHDSystem(cfg)
-    lr = np.zeros(32512, np.float32)
-    with pytest.raises(SystemExit, match="use the chunked path"):
-        cp_generate(system, None, lr, cfg)
+    state, *_ = init_state(system, jax.random.PRNGKey(0), batch=1)
+    params_g = state.params["G"]
+    # length on the common frame grid of 1- and 4-shard runs (T=208 frames,
+    # divisible by q=4 and q=16) so both see the identical padded
+    # spectrogram / mask noise
+    t = np.arange(207 * 160) / 48000
+    lr = (0.3 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+
+    a1 = cp_generate(system, params_g, lr, cfg.replace(cp_shards=1))
+    a4 = cp_generate(system, params_g, lr, cfg.replace(cp_shards=4))
+    n = min(a1.size, a4.size)
+    assert n >= lr.size
+    np.testing.assert_allclose(a4[:n], a1[:n], atol=2e-5)
 
 
 @pytest.mark.slow

@@ -13,22 +13,30 @@ from pix2pixhdaudiosr_tpu.ops.window import kbdwin
 SEG = 32512  # reference options/audio_config.py FRAME_LENGTH
 
 
-def test_frame_matches_torch_unfold(rng_np):
+# hop | win (every reference config) AND non-dividing codecs (512/160 etc.),
+# which the round-4 gcd-cell framing supports like torch.unfold does
+FRAMINGS = [(512, 256), (512, 512), (1024, 256), (512, 160), (512, 384),
+            (400, 256), (512, 96)]
+
+
+@pytest.mark.parametrize("win,hop", FRAMINGS)
+def test_frame_matches_torch_unfold(rng_np, win, hop):
     torch = pytest.importorskip("torch")
     x = rng_np.standard_normal((2, 3000)).astype(np.float32)
-    padded = framing.pad_signal(jnp.asarray(x), 256, center=True)
-    got = np.asarray(framing.frame(padded, 512, 256))
-    want = torch.from_numpy(np.asarray(padded)).unfold(-1, 512, 256).numpy()
+    padded = framing.pad_signal(jnp.asarray(x), hop, center=True)
+    got = np.asarray(framing.frame(padded, win, hop))
+    want = torch.from_numpy(np.asarray(padded)).unfold(-1, win, hop).numpy()
     np.testing.assert_array_equal(got, want)
 
 
-def test_overlap_add_matches_torch_fold(rng_np):
+@pytest.mark.parametrize("win,hop", FRAMINGS)
+def test_overlap_add_matches_torch_fold(rng_np, win, hop):
     torch = pytest.importorskip("torch")
-    frames = rng_np.standard_normal((2, 128, 512)).astype(np.float32)
-    got = np.asarray(framing.overlap_add(jnp.asarray(frames), 256))
+    frames = rng_np.standard_normal((2, 128, win)).astype(np.float32)
+    got = np.asarray(framing.overlap_add(jnp.asarray(frames), hop))
     t = torch.from_numpy(frames).transpose(-1, -2)
-    out_len = (128 - 1) * 256 + 512
-    want = torch.nn.functional.fold(t, kernel_size=(1, 512), stride=(1, 256),
+    out_len = (128 - 1) * hop + win
+    want = torch.nn.functional.fold(t, kernel_size=(1, win), stride=(1, hop),
                                     output_size=(1, out_len))
     np.testing.assert_allclose(got, want.squeeze(1).squeeze(1).numpy(), atol=1e-6)
 
