@@ -24,6 +24,27 @@ def test_reference_flag_aliases(tmp_path):
     assert cfg.explicit_encoding and cfg.mask_mode == "mode2"
 
 
+def test_every_reference_flag_is_accepted():
+    """Exhaustive flag-surface parity: every --flag the reference's options
+    system defines (reference options/{base,train,test}_options.py) is known
+    to this parser — as an implemented field, a spelling alias, or an
+    accepted-and-dropped runtime-specific flag."""
+    import glob
+    import re
+    ref = glob.glob("/root/reference/options/*.py")
+    if not ref:
+        pytest.skip("reference tree not mounted")
+    ref_flags = set()
+    for path in ref:
+        with open(path) as f:
+            ref_flags |= set(re.findall(r"add_argument\('--(\w+)'", f.read()))
+    from pix2pixhdaudiosr_tpu.config import build_parser
+    known = {s.lstrip("-") for a in build_parser()._actions
+             for s in a.option_strings}
+    assert ref_flags, "no flags extracted from the reference"
+    assert ref_flags <= known, sorted(ref_flags - known)
+
+
 def test_reference_readme_recipes_parse_verbatim(capsys):
     """The reference README's committed train/generate commands
     (reference README.md:138-171) must run under this CLI unchanged —
