@@ -83,3 +83,19 @@ def test_conv3x3_pallas_matches_lax(rng_np):
     want = jax.lax.conv_general_dilated(
         x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pallas_backend_falls_back_for_non_dividing_codec(rng_np):
+    """backend="pallas" with win % hop != 0 (the fused kernels tile hop
+    blocks) silently takes the XLA gcd-cell path and matches backend="xla"
+    bit-for-bit — the gate added with the round-4 framing generalization."""
+    win = kbdwin(512)
+    x = jnp.asarray(rng_np.standard_normal((2, 32000)).astype(np.float32) * 0.3)
+    kw = dict(n_fft=512, hop_length=160, win_length=512, window=win,
+              center=True)
+    want_spec = MDCT2(backend="xla", **kw)(x)
+    got_spec = MDCT2(backend="pallas", **kw)(x)
+    np.testing.assert_array_equal(np.asarray(got_spec), np.asarray(want_spec))
+    want = IMDCT2(backend="xla", **kw)(want_spec)
+    got = IMDCT2(backend="pallas", **kw)(want_spec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
