@@ -272,7 +272,8 @@ _IGNORED_REFERENCE_FLAGS = {
     "resize_or_crop": ("scale_width", "image-path flag"),
     "no_flip": (False, "image-path flag; audio is never flipped"),
     "display_winsize": (512, "image-path display flag"),
-    "ntest": (None, "the eval CLI evaluates the whole csv (--how_many caps it)"),
+    "ntest": (None, "the eval CLI evaluates the whole validation set "
+                    "(cap the corpus with --max_dataset_size)"),
     "aspect_ratio": (1.0, "image-path flag"),
     "export_onnx": (None, "ONNX/TRT export is replaced by XLA AOT: "
                           "tools/aot_engine.py"),
