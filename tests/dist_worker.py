@@ -9,7 +9,11 @@ step over the data-sharded global batch. Prints the losses as one JSON line
 prefixed with LOSSES so the test can compare them against a single-process
 run of the identical program.
 
-Usage: python tests/dist_worker.py <process_id> <num_processes> <port>
+Usage: python tests/dist_worker.py <process_id> <num_processes> <port> [mode]
+mode = "dp" (default) or "fsdp": fsdp additionally shards params + both
+optimizers' states over the GLOBAL data axis (parallel/fsdp.py), so each
+process holds only its 1/n_dev param/moment shards — the real multi-host
+ZeRO-3 pattern with Gloo all-gather/reduce-scatter across processes.
 Env (set by the test): JAX_PLATFORMS=cpu, JAX_NUM_CPU_DEVICES=<n_local>,
 PALLAS_AXON_POOL_IPS unset (so sitecustomize does not pre-register a PJRT
 backend before jax.distributed.initialize).
@@ -24,6 +28,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
 
     import jax
     import numpy as np
@@ -48,6 +53,15 @@ def main():
                                      batch=n_dev)
     # deterministic init on every process; replicate across all hosts
     state = jax.device_put(jax.device_get(state), replicated(mesh))
+    if mode == "fsdp":
+        # params + Adam moments sharded over the 4-device GLOBAL axis: each
+        # 2-device process addresses only half of every sharded leaf, and
+        # the step's all-gather / reduce-scatter cross the process boundary
+        from pix2pixhdaudiosr_tpu.parallel.fsdp import apply_fsdp
+        state = apply_fsdp(state, mesh)
+        big = [l for l in jax.tree.leaves(state.params["G"]) if l.ndim == 4]
+        assert any(not l.sharding.is_fully_replicated for l in big)
+        assert any(not l.is_fully_addressable for l in big)
     step = make_train_step(system, opt_g, opt_d, donate=False)
 
     full = make_global_batch(n_dev)

@@ -43,11 +43,11 @@ def _worker_env(n_local: int) -> dict:
     return env
 
 
-def _run_workers(port: int, env: dict):
+def _run_workers(port: int, env: dict, mode: str = "dp"):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "dist_worker.py"),
-             str(i), "2", str(port)],
+             str(i), "2", str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=REPO)
         for i in range(2)
@@ -56,12 +56,17 @@ def _run_workers(port: int, env: dict):
 
 
 @pytest.mark.slow
-def test_two_process_dp_step_matches_single_process():
+@pytest.mark.parametrize("mode", ["dp", "fsdp"])
+def test_two_process_step_matches_single_process(mode):
+    """dp: batch sharded across the two processes. fsdp: additionally params
+    + both Adam states sharded over the GLOBAL 4-device axis, so the step's
+    per-layer all-gather and reduce-scatter cross the process boundary
+    (the real multi-host ZeRO-3 communication pattern over Gloo)."""
     env = _worker_env(n_local=2)
     # _free_port closes its probe socket before the coordinator binds it —
     # a TOCTOU window on a busy host; retry once with a fresh port
     for attempt in range(2):
-        results = _run_workers(_free_port(), env)
+        results = _run_workers(_free_port(), env, mode)
         if all(rc == 0 for _, _, rc in results):
             break
         if attempt == 0 and any("in use" in err.lower() or "bind" in err.lower()
@@ -92,6 +97,9 @@ def test_two_process_dp_step_matches_single_process():
     mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
     state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=4)
     state = jax.device_put(jax.device_get(state), replicated(mesh))
+    if mode == "fsdp":
+        from pix2pixhdaudiosr_tpu.parallel.fsdp import apply_fsdp
+        state = apply_fsdp(state, mesh)
     step = make_train_step(system, opt_g, opt_d, donate=False)
     batch = shard_batch(make_global_batch(4), mesh)
     _, ref_losses, _ = step(state, batch, jax.random.PRNGKey(1), None,
