@@ -53,9 +53,15 @@ def plan_cp_padding(length: int, hop: int, win: int, center: bool,
     q = shards * stride                 # per-shard frames must cover stride
     t_frames = -(-t_min // q) * q
     need = (t_frames - 1 - (2 * start - win) // hop) * hop
-    assert (need % hop == 0 and need >= length
-            and (t_frames - 1) * hop + recon_0 >= length
-            and Pix2PixHDSystem.frames_for(need, hop, win, center) == t_frames)
+    if (need < length
+            or Pix2PixHDSystem.frames_for(need, hop, win, center) != t_frames):
+        # fail loud, not wrong-length: reachable only if frames_for's pad
+        # rule ever diverges from the closed form above
+        raise RuntimeError(
+            f"cp padding plan violated its contract for win={win} hop={hop} "
+            f"center={center} length={length} (need={need}, "
+            f"t_frames={t_frames}); file a bug — the chunked path "
+            f"(--cp_shards 1) still works")
     return need, t_frames
 
 
@@ -84,8 +90,8 @@ def cp_generate(system, params_g, lr_audio, cfg) -> np.ndarray:
     hop, win, center = cfg.hop_length, cfg.win_length, cfg.center
     length = int(np.asarray(lr_audio).shape[-1])
     need, t_frames = plan_cp_padding(length, hop, win, center, n, stride)
-    lr_full = np.zeros(need, np.float32)
-    lr_full[: min(length, need)] = np.asarray(lr_audio, np.float32)[:need]
+    lr_full = np.zeros(need, np.float32)  # need >= length by plan contract
+    lr_full[:length] = np.asarray(lr_audio, np.float32)
 
     # a full-length codec/system (the training codec crops its inverse to
     # segment_length); the generator param tree is identical

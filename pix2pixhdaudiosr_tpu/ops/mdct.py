@@ -127,9 +127,7 @@ class IMDCT2(_LappedBase):
                                hop=self.hop_length, win=self.win_length)
             if self.center:
                 out = framing.center_crop(out, self.win_length)
-            if self.out_length is not None:
-                out = out[..., : self.out_length]
-            return out
+            return _fit_length(out, self.out_length)
         if self._custom_idct is not None:
             y = self._custom_idct(spec) / 2.0
             y = y[..., : self.win_length] * jnp.asarray(self.window, y.dtype)
@@ -138,9 +136,7 @@ class IMDCT2(_LappedBase):
         out = framing.overlap_add(y, self.hop_length)
         if self.center:
             out = framing.center_crop(out, self.win_length)
-        if self.out_length is not None:
-            out = out[..., : self.out_length]
-        return out
+        return _fit_length(out, self.out_length)
 
 
 class MDCT4(_LappedBase):
@@ -175,9 +171,24 @@ class IMDCT4(_LappedBase):
         out = framing.overlap_add(y, self.hop_length)
         if self.center:
             out = framing.center_crop(out, self.win_length)
-        if self.out_length is not None:
-            out = out[..., : self.out_length]
+        return _fit_length(out, self.out_length)
+
+
+def _fit_length(out: jnp.ndarray, out_length) -> jnp.ndarray:
+    """Trim OR zero-pad the reconstruction to out_length. When hop | win the
+    reconstruction is never short, but for non-dividing codecs the forward's
+    end-pad rounds past the last frame and the inverse comes up (up to
+    hop-1) samples short of the segment — padding keeps every segment on its
+    exact out_length time base instead of letting chunked decode outputs
+    drift (the reference's fold-based inverse has the same shortfall and
+    would drift, reference models/mdct.py:447-454)."""
+    if out_length is None:
         return out
+    short = out_length - out.shape[-1]
+    if short > 0:
+        pad = [(0, 0)] * (out.ndim - 1) + [(0, short)]
+        return jnp.pad(out, pad)
+    return out[..., :out_length]
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,8 @@ def test_every_reference_flag_is_accepted():
     ref_flags = set()
     for path in ref:
         with open(path) as f:
-            ref_flags |= set(re.findall(r"add_argument\('--(\w+)'", f.read()))
+            ref_flags |= set(
+                re.findall(r"add_argument\(['\"]--(\w+)['\"]", f.read()))
     from pix2pixhdaudiosr_tpu.config import build_parser
     known = {s.lstrip("-") for a in build_parser()._actions
              for s in a.option_strings}
@@ -141,17 +142,19 @@ def test_remat_g_flag(capsys):
 
 
 def test_frames_for_pad_rule_inversion():
-    """cp_generate pads a file to `need = (t-1)*hop + win - 2*start` samples
-    and relies on the codec producing exactly t frames for it (the review
-    found the old hard-coded 2*hop rule; now both sides share frames_for)."""
+    """cp_generate pads a file to `need = (t - 1 - floor((2*start - win)/hop))
+    * hop` samples and relies on the codec producing exactly t frames for it
+    (generate.plan_cp_padding; both sides share frames_for — the round-4
+    closed form works for every codec, win % hop != 0 included)."""
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
     f = Pix2PixHDSystem.frames_for
     assert f(32512, 256, 512, True) == 128  # flagship invariant
     for hop, win, center in [(256, 512, True), (256, 512, False),
-                             (128, 256, True), (256, 1024, True)]:
+                             (128, 256, True), (256, 1024, True),
+                             (160, 512, True), (160, 512, False)]:
         start = hop if center else 0
         for t in (16, 32, 128):
-            need = (t - 1) * hop + win - 2 * start
-            if need <= 0 or need % hop:
-                continue  # cp_generate rejects these configs explicitly
+            need = (t - 1 - (2 * start - win) // hop) * hop
+            if need <= 0:
+                continue
             assert f(need, hop, win, center) == t, (hop, win, center, t)

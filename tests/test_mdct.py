@@ -120,3 +120,24 @@ def test_win_less_than_nfft(rng_np):
     assert spec.shape[-1] == 512
     rec = np.asarray(imdct(spec))
     assert np.mean((rec - x) ** 2) < 1e-10
+
+
+@pytest.mark.parametrize("win,hop", FRAMINGS)
+def test_imdct2_out_length_contract(rng_np, win, hop):
+    """IMDCT2(out_length=L) returns EXACTLY L samples for every codec —
+    zero-padding the tail for non-dividing (win % hop != 0) configs, where
+    the forward's end-pad rounds past the last frame and the raw inverse
+    comes up short. Keeps chunked decode segments on their exact time base
+    (review finding, round 4)."""
+    w = kbdwin(win) if win % 2 == 0 else np.ones(win, np.float32)
+    n_fft = win
+    seg = hop * 40  # an arbitrary hop-aligned segment length
+    mdct = MDCT2(n_fft=n_fft, hop_length=hop, win_length=win, window=w,
+                 center=True)
+    imdct = IMDCT2(n_fft=n_fft, hop_length=hop, win_length=win, window=w,
+                   center=True, out_length=seg)
+    x = jnp.asarray(rng_np.standard_normal((2, seg)).astype(np.float32))
+    out = imdct(mdct(x))
+    assert out.shape == (2, seg), (win, hop, out.shape)
+    if win == 2 * hop:  # princen-bradley configs reconstruct perfectly
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
