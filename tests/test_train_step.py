@@ -174,6 +174,33 @@ def test_remat_g_grads_match(tiny_setup):
         np.testing.assert_array_equal(flat, base, err_msg=mode)
 
 
+def test_non_dividing_codec_train_step():
+    """A win % hop != 0 codec (512/160) trains end-to-end: the gcd-cell
+    framing (ops/framing.py) frames it, and IMDCT's out_length contract
+    (ops/mdct.py _fit_length) keeps the inverse on the exact segment time
+    base even though the forward's end-pad rounds past the last frame.
+    Inference for this family is pinned in test_halo_cp; this is the
+    training-side half (losses_and_grads through the same codec)."""
+    cfg = TINY.replace(win_length=512, hop_length=160, n_fft=512,
+                       segment_length=20640,  # 128 frames at hop 160 (center)
+                       use_match_loss=True)   # exercises the codec inverse
+    system = Pix2PixHDSystem(cfg)
+    state, opt_g, opt_d = init_state(system, jax.random.PRNGKey(0), batch=2)
+    step = make_train_step(system, opt_g, opt_d, donate=False)
+    batch = synth_batch(2, cfg.segment_length, np.random.default_rng(0))
+    new_state, losses, _ = step(state, batch, jax.random.PRNGKey(1), None,
+                                fix_global=False, with_visuals=False)
+    assert "G_mat" in losses
+    assert all(np.isfinite(float(v)) for v in losses.values()), losses
+    a = jax.tree.leaves(state.params["G"])[0]
+    b = jax.tree.leaves(new_state.params["G"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    ev = make_eval_step(system)
+    sr_audio, _ = ev(new_state.params["G"], batch["label"], jax.random.PRNGKey(0))
+    assert sr_audio.shape == (2, cfg.segment_length)
+    assert np.all(np.isfinite(np.asarray(sr_audio)))
+
+
 def test_adam_mu_bf16_knob():
     """--adam_mu_bf16 stores the Adam first moment in bf16 (nu stays f32)
     and the step still runs finite and updates params — the optimizer-state
