@@ -34,11 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.common import fence_sum as _sum
+from benchmarks.common import host_params as _host_params
 from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
-
-_sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
 
 def g730_cfg():
@@ -48,13 +48,6 @@ def g730_cfg():
                   input_nc=2, output_nc=2, label_nc=0, no_instance=True,
                   explicit_encoding=True, mask_mode="mode2",
                   no_vgg_loss=True, compute_dtype="bfloat16")
-
-
-def _host_params(shapes, seed=0):
-    rng_np = np.random.default_rng(seed)
-    return jax.tree.map(
-        lambda s: jax.device_put(
-            (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
 
 
 def _mem_info(compiled):

@@ -92,6 +92,10 @@ def main():
         ds = AudioTestDataset(args.wav, cfg.lr_sampling_rate,
                               cfg.hr_sampling_rate, seg)
         n_seg = ds.lr_audio.size // seg
+        if n_seg < 2:  # seams need at least one chunk boundary
+            raise SystemExit(
+                f"--wav must be at least 2*{seg} samples "
+                f"(~{2 * seg / 48000:.2f}s at 48 kHz); got {ds.lr_audio.size}")
         lr = np.asarray(ds.lr_audio[: n_seg * seg], np.float32)
         print(f"real speech: {args.wav} -> {n_seg} chunks")
     else:

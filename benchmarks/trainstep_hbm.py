@@ -32,21 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks.common import fence_sum as _sum
+from benchmarks.common import host_params as _host_params
 from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
 V5E_HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 V5E_BF16_TFLOPS = 197.0
-
-_sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-
-
-def _host_params(shapes, seed=0):
-    rng_np = np.random.default_rng(seed)
-    return jax.tree.map(
-        lambda s: jax.device_put(
-            (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
 
 
 def measure_step(system, cfg, batch_n, mu_dtype=None, iters=6):

@@ -20,6 +20,19 @@ import sys
 import threading
 
 
+def _env_platform_override(env_value, current):
+    """The JAX_PLATFORMS env var wins only when it NARROWS the current
+    platform list (sitecustomize's relay register overrides the env var
+    with "axon,cpu" at interpreter start; an embedding program's explicit
+    jax.config.update("jax_platforms", ...) must not be undone by the
+    stale global env var). Returns the value to apply, or None."""
+    if not env_value or env_value == (current or ""):
+        return None
+    if set(env_value.split(",")) <= set((current or "").split(",")):
+        return env_value
+    return None
+
+
 def backend_watchdog(seconds: float = 240.0) -> None:
     env = os.environ.get("AUDIOSR_INIT_TIMEOUT")
     if env is not None:
@@ -41,16 +54,20 @@ def backend_watchdog(seconds: float = 240.0) -> None:
 
     threading.Thread(target=boom, daemon=True).start()
     import jax
-    # sitecustomize imports jax at interpreter start, before user code —
-    # by the time a CLI runs, the JAX_PLATFORMS env var has already been
-    # consumed and re-exporting it does nothing. Re-apply it through the
-    # config API so `JAX_PLATFORMS=cpu python train.py ...` behaves the
-    # way every JAX user expects (and CPU drive-runs work when the TPU
-    # relay is down).
-    platforms = os.environ.get("JAX_PLATFORMS")
-    if platforms:
+    # sitecustomize's device-relay register sets jax_platforms itself at
+    # interpreter start ("axon,cpu"), so the JAX_PLATFORMS env var has
+    # already been overridden by the time a CLI runs. Re-apply it through
+    # the config API so `JAX_PLATFORMS=cpu python train.py ...` behaves
+    # the way every JAX user expects (and CPU drive-runs work when the
+    # TPU relay is down) — but only when the env value NARROWS the current
+    # platform list. If an embedding program explicitly chose a different
+    # backend (jax.config.update("jax_platforms", "cpu") before calling a
+    # CLI main()), the stale global env var must not override that choice.
+    override = _env_platform_override(os.environ.get("JAX_PLATFORMS"),
+                                      jax.config.jax_platforms)
+    if override:
         try:
-            jax.config.update("jax_platforms", platforms)
+            jax.config.update("jax_platforms", override)
         except Exception:
             pass  # backend already initialized; keep whatever it chose
     jax.devices()

@@ -141,3 +141,31 @@ def test_seg_audio_stereo(tmp_path):
     parts = [read_wav(str(tmp_path / f"s{i:03d}.wav"))[0] for i in range(3)]
     assert all(p.shape[0] == 2 for p in parts)  # channels preserved
     np.testing.assert_allclose(np.concatenate(parts, axis=1), x, atol=2e-4)
+
+
+def test_prep_realspeech_pools_exclude_holdout():
+    """The sr-variant training pools must stop BEFORE the hr utterance's
+    holdout region even though sr_audio.wav is segment-padded longer than
+    hr_audio.wav (round-4 review: the padded tail shifted `[:-HOLDOUT]` and
+    leaked ~15.3k samples of the eval region into the training pool)."""
+    import pytest
+    if not os.path.isdir("/root/reference/generated"):
+        pytest.skip("reference wavs unavailable")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.prep_realspeech import HOLDOUT, SOURCES, build_pools
+    from pix2pixhdaudiosr_tpu.data import read_wav
+
+    pools, holds = build_pools(include_sr_variants=True)
+    assert len(pools) == 6 and len(holds) == len(SOURCES)
+    hr, _ = read_wav(SOURCES[1])
+    hr_len = np.asarray(hr).reshape(-1).size  # 374,855: unpadded utterance
+    # hr pool and EVERY sr-variant pool end exactly at the holdout boundary
+    assert pools[1].size == hr_len - HOLDOUT
+    for p in pools[2:]:
+        assert p.size == hr_len - HOLDOUT
+    # and the held-out tails really are the last HOLDOUT samples of each hr
+    for (hold, _), src in zip(holds, SOURCES):
+        audio, _ = read_wav(src)
+        np.testing.assert_array_equal(
+            hold, np.asarray(audio, np.float32).reshape(-1)[-HOLDOUT:])

@@ -1,0 +1,50 @@
+"""Backend-init watchdog: the env-var re-apply must narrow, never override.
+
+The container's sitecustomize registers the TPU relay backend and sets
+jax_platforms to "axon,cpu" at interpreter start, clobbering the
+JAX_PLATFORMS env var. backend_watchdog re-applies the env var so CPU
+drive-runs of the CLIs work — but an embedding program's explicit
+jax.config.update("jax_platforms", "cpu") (the repo's own documented
+CPU-forcing pattern) must win over the stale global env var."""
+
+import os
+
+import jax
+
+from pix2pixhdaudiosr_tpu.utils.watchdog import (_env_platform_override,
+                                                 backend_watchdog)
+
+
+def test_env_narrows_sitecustomize_default():
+    # `JAX_PLATFORMS=cpu python train.py` on the relay image: register set
+    # "axon,cpu", the user asked for cpu -> apply
+    assert _env_platform_override("cpu", "axon,cpu") == "cpu"
+
+
+def test_env_does_not_override_explicit_config():
+    # embedding program called jax.config.update("jax_platforms", "cpu");
+    # the global env still says axon -> keep the explicit choice
+    assert _env_platform_override("axon", "cpu") is None
+    assert _env_platform_override("axon,cpu", "cpu") is None
+
+
+def test_noop_cases():
+    assert _env_platform_override(None, "axon,cpu") is None
+    assert _env_platform_override("", "axon,cpu") is None
+    assert _env_platform_override("cpu", "cpu") is None       # already equal
+    assert _env_platform_override("cpu", None) is None        # config unset:
+    # jax consumes the env var itself at backend init
+
+
+def test_backend_watchdog_cpu_fast_path(monkeypatch):
+    # on CPU the init returns immediately and the timer is cancelled; the
+    # explicit cpu config (tests/conftest.py) must survive the call
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")  # stale global env
+    backend_watchdog(seconds=60.0)
+    assert jax.config.jax_platforms == "cpu"
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_timeout_env_disable(monkeypatch):
+    monkeypatch.setenv("AUDIOSR_INIT_TIMEOUT", "0")
+    backend_watchdog(seconds=0.001)  # returns before starting any timer

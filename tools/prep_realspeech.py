@@ -47,6 +47,33 @@ SEG = 32512
 HOLDOUT = 2 * SEG  # tail of each source reserved for eval
 
 
+def build_pools(include_sr_variants: bool):
+    """Training pools + held-out tails. Every pool ends BEFORE the holdout
+    region of its utterance; for the sr variants the holdout is measured
+    from the hr utterance's end, not the padded file's — sr_audio.wav is
+    SEGMENT-PADDED past the utterance (390,144 vs 374,855 samples for
+    GEN_VCTK_G3L2_48ngf), and `audio[:-HOLDOUT]` alone leaked ~15.3k
+    samples of the eval region into the training pool (review finding,
+    round 4). Returns (pools, [(holdout_tail, rate), ...])."""
+    pools, holds, hr_len = [], [], None
+    for path in SOURCES:
+        audio, rate = read_wav(path)
+        assert rate == 48000, (path, rate)
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if "generated/" in path:
+            hr_len = audio.size  # the GEN_VCTK utterance length (374,855)
+        pools.append(audio[:-HOLDOUT])
+        holds.append((audio[-HOLDOUT:], rate))
+    if include_sr_variants:
+        for path in SR_VARIANT_SOURCES:
+            audio, rate = read_wav(path)
+            assert rate == 48000, (path, rate)
+            audio = np.asarray(audio, np.float32).reshape(-1)
+            assert hr_len is not None and audio.size >= hr_len, path
+            pools.append(audio[: hr_len - HOLDOUT])
+    return pools, holds
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/realspeech")
@@ -64,24 +91,10 @@ def main():
     os.makedirs(train_dir, exist_ok=True)
     os.makedirs(eval_dir, exist_ok=True)
 
-    pools, total = [], 0
-    for i, path in enumerate(SOURCES):
-        audio, rate = read_wav(path)
-        assert rate == 48000, (path, rate)
-        audio = np.asarray(audio, np.float32).reshape(-1)
-        train_part, hold = audio[:-HOLDOUT], audio[-HOLDOUT:]
-        pools.append(train_part)
-        total += train_part.size
+    pools, holds = build_pools(args.include_sr_variants)
+    total = sum(p.size for p in pools)
+    for i, (hold, rate) in enumerate(holds):
         write_wav(os.path.join(eval_dir, f"held{i}.wav"), hold, rate)
-    if args.include_sr_variants:
-        for path in SR_VARIANT_SOURCES:
-            audio, rate = read_wav(path)
-            assert rate == 48000, (path, rate)
-            audio = np.asarray(audio, np.float32).reshape(-1)
-            # hold out the same tail region as the hr utterance so the
-            # held-out eval segments stay unseen in ANY form
-            pools.append(audio[:-HOLDOUT])
-            total += audio.size - HOLDOUT
 
     rng = np.random.default_rng(args.seed)
     weights = np.asarray([p.size for p in pools], np.float64)
