@@ -101,9 +101,14 @@ def bench_train_step(system, cfg):
 
 
 def main():
+    # Bounded retry window first (default 30 min, AUDIOSR_BENCH_RETRY_WINDOW)
+    # so a flapping relay doesn't cost the round's only capture, then the
     # shared fail-fast init watchdog (honors AUDIOSR_INIT_TIMEOUT like the
-    # CLIs; exits 3 if the axon relay is down instead of hanging the driver)
-    from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
+    # CLIs; exits 3 if the axon relay stays down instead of hanging the
+    # driver).
+    from pix2pixhdaudiosr_tpu.utils.watchdog import (backend_watchdog,
+                                                     wait_for_backend)
+    wait_for_backend()
     backend_watchdog()
     from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()

@@ -111,7 +111,11 @@ def serve(system, cfg, batches, res, expect_params=730_713_346):
             res[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
         print(key, json.dumps(res[key]), flush=True)
         if "error" in res[key]:
-            break  # larger batches will also OOM
+            msg = res[key]["error"].lower()
+            if "resource_exhausted" in msg or "out of memory" in msg:
+                break  # larger batches will also OOM
+            # transient failure (remote compile / relay): keep sweeping so
+            # one flaky compile doesn't masquerade as a memory ceiling
 
 
 def train(system, cfg, attempts, res):

@@ -33,6 +33,65 @@ def _env_platform_override(env_value, current):
     return None
 
 
+def wait_for_backend(window: float = 1800.0, probe_timeout: float = 240.0,
+                     sleep_s: float = 60.0, probe=None) -> int:
+    """Bounded retry window for a flapping relay (bench capture path).
+
+    `backend_watchdog` is the right per-process behavior (fail fast, let the
+    scheduler retry), but a one-shot capture like bench.py loses a whole
+    round's record if the relay happens to be down at the single moment the
+    driver runs it. This re-probes the backend in a SUBPROCESS (a hung
+    backend init cannot be cancelled in-process) every `sleep_s` seconds
+    until one probe succeeds or `window` seconds elapse, then exits 3.
+    Tune/disable with AUDIOSR_BENCH_RETRY_WINDOW (seconds; 0 = single probe,
+    keep the old fail-fast behavior).
+
+    Returns the number of probe attempts on success (for logging/tests).
+    """
+    import subprocess
+    import time
+
+    env_window = os.environ.get("AUDIOSR_BENCH_RETRY_WINDOW")
+    if env_window is not None:
+        try:
+            window = float(env_window)
+        except ValueError:
+            pass
+
+    if probe is None:
+        def probe():
+            # a caller-set AUDIOSR_INIT_TIMEOUT wins (lets the driver trade
+            # probe patience for more retries inside the same window)
+            env = dict(os.environ)
+            env.setdefault("AUDIOSR_INIT_TIMEOUT", str(probe_timeout))
+            return subprocess.run(
+                [sys.executable, "-c",
+                 "from pix2pixhdaudiosr_tpu.utils.watchdog import "
+                 "backend_watchdog; backend_watchdog()"],
+                env=env, cwd=os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+            ).returncode
+
+    deadline = time.monotonic() + window
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        rc = probe()
+        if rc == 0:
+            return attempt
+        if time.monotonic() >= deadline:
+            print(f"wait_for_backend: relay still down after {attempt} "
+                  f"probe(s) over {window:.0f}s window; exiting",
+                  file=sys.stderr, flush=True)
+            raise SystemExit(3)
+        print(f"wait_for_backend: probe {attempt} failed (rc={rc}, "
+              f"{time.monotonic() - t0:.0f}s); retrying in {sleep_s:.0f}s "
+              f"({deadline - time.monotonic():.0f}s left in window)",
+              file=sys.stderr, flush=True)
+        time.sleep(min(sleep_s, max(0.0, deadline - time.monotonic())))
+
+
 def backend_watchdog(seconds: float = 240.0) -> None:
     env = os.environ.get("AUDIOSR_INIT_TIMEOUT")
     if env is not None:

@@ -117,6 +117,13 @@ def test_seg_audio_short_file(tmp_path):
     rate = 48000
     x = np.linspace(-0.4, 0.4, int(0.5 * rate)).astype(np.float32)
     write_wav(str(tmp_path / "short.wav"), x, rate)
+    # without --delete the original already holds the short file: no copy
+    # (a <base>000.wav duplicate would double-weight it in a corpus walk)
+    n = seg_audio.segment_file(str(tmp_path / "short.wav"), 1.2, delete=False)
+    assert n == 0
+    assert (tmp_path / "short.wav").exists()
+    assert not (tmp_path / "short000.wav").exists()
+
     n = seg_audio.segment_file(str(tmp_path / "short.wav"), 1.2, delete=True)
     assert n == 1
     assert not (tmp_path / "short.wav").exists()

@@ -10,9 +10,11 @@ CPU-forcing pattern) must win over the stale global env var."""
 import os
 
 import jax
+import pytest
 
 from pix2pixhdaudiosr_tpu.utils.watchdog import (_env_platform_override,
-                                                 backend_watchdog)
+                                                 backend_watchdog,
+                                                 wait_for_backend)
 
 
 def test_env_narrows_sitecustomize_default():
@@ -48,3 +50,30 @@ def test_backend_watchdog_cpu_fast_path(monkeypatch):
 def test_timeout_env_disable(monkeypatch):
     monkeypatch.setenv("AUDIOSR_INIT_TIMEOUT", "0")
     backend_watchdog(seconds=0.001)  # returns before starting any timer
+
+
+def test_wait_for_backend_immediate_success():
+    assert wait_for_backend(window=10.0, sleep_s=0.01, probe=lambda: 0) == 1
+
+
+def test_wait_for_backend_flapping_relay_recovers():
+    # relay down for two probes, then back: the capture must survive
+    rcs = iter([3, 3, 0])
+    assert wait_for_backend(window=10.0, sleep_s=0.01,
+                            probe=lambda: next(rcs)) == 3
+
+
+def test_wait_for_backend_window_exhausted_exits_3():
+    with pytest.raises(SystemExit) as exc:
+        wait_for_backend(window=0.05, sleep_s=0.01, probe=lambda: 3)
+    assert exc.value.code == 3
+
+
+def test_wait_for_backend_env_window_zero_single_probe(monkeypatch):
+    # AUDIOSR_BENCH_RETRY_WINDOW=0 restores the old fail-fast behavior
+    monkeypatch.setenv("AUDIOSR_BENCH_RETRY_WINDOW", "0")
+    calls = []
+    with pytest.raises(SystemExit):
+        wait_for_backend(window=999.0, sleep_s=0.01,
+                         probe=lambda: calls.append(1) or 3)
+    assert len(calls) == 1
