@@ -199,6 +199,13 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke mode: shrink the config to exercise "
                          "every harness code path without the chip")
+    ap.add_argument("--train_attempts", type=str, nargs="*", default=None,
+                    help="override the train knob walk: each item is "
+                         "BATCH[:remat][:mubf16], e.g. 32 32:full "
+                         "32:full:mubf16 (walk stops at the first fit)")
+    ap.add_argument("--out_suffix", default="",
+                    help="append to the result filename (so an override run "
+                         "does not clobber the canonical g730_results.json)")
     args = ap.parse_args()
 
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
@@ -227,11 +234,19 @@ def main():
                     (8, "full", False),
                     (8, "full", True),
                     (4, "full", True)]
+        if args.train_attempts is not None:
+            attempts = []
+            for item in args.train_attempts:
+                parts = item.split(":")
+                attempts.append((int(parts[0]),
+                                 parts[1] if len(parts) > 1 and parts[1]
+                                 else None,
+                                 "mubf16" in parts[2:]))
         train(system, cfg, attempts, res)
 
     out = os.path.join(os.path.dirname(__file__),
-                       "g730_results_tiny.json" if args.tiny
-                       else "g730_results.json")
+                       ("g730_results_tiny%s.json" if args.tiny
+                        else "g730_results%s.json") % args.out_suffix)
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     print("wrote", out)
