@@ -123,7 +123,10 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
     display_delta = total_steps % cfg.display_freq
     print_delta = total_steps % print_freq
     save_delta = total_steps % cfg.save_latest_freq
-    eval_delta = total_steps % cfg.eval_freq if cfg.validation_split > 0 else -1
+    # eval_freq <= 0 disables in-training eval (same as validation_split 0);
+    # guards the % below from a ZeroDivisionError on --eval_freq 0.
+    do_eval = cfg.validation_split > 0 and cfg.eval_freq > 0
+    eval_delta = total_steps % cfg.eval_freq if do_eval else -1
 
     end = {"flag": False}
 
@@ -229,7 +232,7 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
                 ckpt.save(state, "latest")
                 ckpt.save_iter(epoch, epoch_iter)
 
-            if eval_loader and total_steps % cfg.eval_freq == eval_delta:
+            if eval_loader and do_eval and total_steps % cfg.eval_freq == eval_delta:
                 eval_model(state.params["G"])
 
             if epoch_iter >= dataset_size:

@@ -44,6 +44,17 @@ def tiny_cfg(env, **kw):
 
 
 @pytest.mark.slow
+def test_eval_freq_zero_disables_eval(env):
+    # --eval_freq 0 with a validation split must mean "never eval", not a
+    # ZeroDivisionError in the cadence modulo (found by a verify drive-run).
+    from pix2pixhdaudiosr_tpu.train_loop import main as train_main
+    cfg = tiny_cfg(env, name="e2e_evalfreq0", eval_freq=0)
+    train_main(cfg=cfg)
+    assert os.path.exists(os.path.join(cfg.expr_dir, "latest_state"))
+    assert not os.path.exists(os.path.join(cfg.expr_dir, "eval.csv"))
+
+
+@pytest.mark.slow
 def test_train_generate_evaluate(env):
     from pix2pixhdaudiosr_tpu.train_loop import main as train_main
     cfg = tiny_cfg(env)
