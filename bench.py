@@ -23,11 +23,7 @@ import numpy as np
 REF_EFFECTIVE_FLOPS = 25e12  # assumed reference GPU effective fp16 FLOP/s
 
 
-def _host_params_from_shapes(shapes, seed=0):
-    rng_np = np.random.default_rng(seed)
-    return jax.tree.map(
-        lambda s: jax.device_put(
-            (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
+from benchmarks.common import host_params as _host_params_from_shapes
 
 
 def bench_train_step(system, cfg):
@@ -130,10 +126,7 @@ def main():
     # remote compile on this backend).
     shapes = jax.eval_shape(system.netG.init, jax.random.PRNGKey(0),
                             jnp.zeros(system.spectro_shape(1), jnp.float32))
-    rng_np = np.random.default_rng(0)
-    params_g = jax.tree.map(
-        lambda s: jax.device_put(
-            (rng_np.standard_normal(s.shape) * 0.02).astype(s.dtype)), shapes)
+    params_g = _host_params_from_shapes(shapes)
     # serving param layout: pre-cast to the compute dtype once (bit-identical
     # to the per-call cast every conv does; halves param HBM traffic) — same
     # as generate.py's serving path

@@ -36,6 +36,8 @@ import numpy as np
 
 from benchmarks.common import fence_sum as _sum
 from benchmarks.common import host_params as _host_params
+from benchmarks.common import mem_info as _mem_info
+from benchmarks.common import serve_sweep
 from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
@@ -50,72 +52,12 @@ def g730_cfg():
                   no_vgg_loss=True, compute_dtype="bfloat16")
 
 
-def _mem_info(compiled):
-    try:
-        ma = compiled.memory_analysis()
-        return {k: round(getattr(ma, k, 0) / 1e9, 2)
-                for k in ("argument_size_in_bytes", "output_size_in_bytes",
-                          "temp_size_in_bytes", "generated_code_size_in_bytes")
-                if hasattr(ma, k)}
-    except Exception:
-        return None
-
-
 def serve(system, cfg, batches, res, expect_params=730_713_346):
-    shapes = jax.eval_shape(system.netG.init, jax.random.PRNGKey(0),
-                            jnp.zeros(system.spectro_shape(1), jnp.float32))
-    n_p = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
-    res["n_params_g"] = n_p
-    print(f"G params: {n_p:,}", flush=True)
-    if expect_params is not None:
-        assert n_p == expect_params, n_p
-    params = _host_params(shapes)
-    params = jax.tree.map(lambda a: a.astype(system.dtype), params)
-
-    for b in batches:
-        key = f"serve_b{b}"
-        try:
-            @jax.jit
-            def fwd(p, a, k):
-                return system.inference(p, a, k)[0]
-
-            audio = jnp.zeros((b, cfg.segment_length), jnp.float32)
-            t0 = time.time()
-            compiled = fwd.lower(params, audio, jax.random.PRNGKey(1)).compile()
-            cs = time.time() - t0
-            ca = compiled.cost_analysis()
-            ca = ca[0] if isinstance(ca, list) else ca
-
-            def run(m):
-                o = None
-                t0 = time.perf_counter()
-                for _ in range(m):
-                    o = compiled(params, audio, jax.random.PRNGKey(1))
-                float(_sum(o))
-                return time.perf_counter() - t0
-
-            run(2)
-            t2, tn = run(2), run(2 + 6)
-            ms = (tn - t2) / 6 * 1e3
-            flops = float(ca.get("flops", 0.0))
-            res[key] = {
-                "ms_per_batch": round(ms, 1),
-                "frames_per_sec": round(b * system.n_frames / (ms / 1e3), 1),
-                "samples_per_sec": round(
-                    b * cfg.segment_length / (ms / 1e3), 1),
-                "achieved_tflops": round(flops / 1e12 / (ms / 1e3), 1),
-                "compile_s": round(cs, 1),
-                "memory": _mem_info(compiled),
-            }
-        except Exception as e:
-            res[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
-        print(key, json.dumps(res[key]), flush=True)
-        if "error" in res[key]:
-            msg = res[key]["error"].lower()
-            if "resource_exhausted" in msg or "out of memory" in msg:
-                break  # larger batches will also OOM
-            # transient failure (remote compile / relay): keep sweeping so
-            # one flaky compile doesn't masquerade as a memory ceiling
+    # the big-model sweep uses fewer timing iterations (each b64 run is
+    # ~70 ms; 2+6 differenced runs keep the delta above relay jitter)
+    serve_sweep(system, cfg, batches, res, key_fmt="serve_b{b}",
+                base_iters=2, extra_iters=lambda b: 6, include_memory=True,
+                expect_params=expect_params, ms_digits=1)
 
 
 def train(system, cfg, attempts, res):

@@ -26,83 +26,19 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
-from benchmarks.common import fence_sum as _sum
-from benchmarks.common import host_params as _host_params
+from benchmarks.common import serve_sweep
 from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
 
 def sweep(system, cfg, batches, res):
-    shapes = jax.eval_shape(system.netG.init, jax.random.PRNGKey(0),
-                            jnp.zeros(system.spectro_shape(1), jnp.float32))
-    n_p = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
-    res["n_params_g"] = n_p
-    print(f"G params: {n_p:,}", flush=True)
-    params = _host_params(shapes)
-    # serving param layout: pre-cast once to the compute dtype (same as
-    # generate.py / bench.py — halves param HBM traffic vs per-call casts)
-    params = jax.tree.map(lambda a: a.astype(system.dtype), params)
-    audio_s = cfg.segment_length / cfg.hr_sampling_rate
-
-    for b in batches:
-        key = f"b{b}"
-        try:
-            @jax.jit
-            def fwd(p, a, k):
-                return system.inference(p, a, k)[0]
-
-            audio = jnp.zeros((b, cfg.segment_length), jnp.float32)
-            t0 = time.time()
-            compiled = fwd.lower(params, audio,
-                                 jax.random.PRNGKey(1)).compile()
-            cs = time.time() - t0
-            ca = compiled.cost_analysis()
-            ca = ca[0] if isinstance(ca, list) else ca
-
-            def run(m):
-                o = None
-                t0 = time.perf_counter()
-                for _ in range(m):
-                    o = compiled(params, audio, jax.random.PRNGKey(1))
-                float(_sum(o))
-                return time.perf_counter() - t0
-
-            run(3)
-            # differenced run lengths cancel dispatch/sync constants
-            # (CLAUDE.md timing method); small batches are fast, use more
-            # iterations so the delta stays well above relay jitter
-            extra = max(6, int(round(600 / max(b, 1))))
-            t2, tn = run(3), run(3 + extra)
-            ms = (tn - t2) / extra * 1e3
-            flops = float(ca.get("flops", 0.0))
-            res[key] = {
-                "ms_per_batch": round(ms, 2),
-                "frames_per_sec": round(b * system.n_frames / (ms / 1e3), 1),
-                "samples_per_sec": round(
-                    b * cfg.segment_length / (ms / 1e3), 1),
-                "achieved_tflops": round(flops / 1e12 / (ms / 1e3), 1),
-                "realtime_factor": round(b * audio_s / (ms / 1e3), 1),
-                "bytes_gb": round(
-                    float(ca.get("bytes accessed", 0.0)) / 1e9, 2),
-                "compile_s": round(cs, 1),
-            }
-        except Exception as e:
-            res[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
-        print(key, json.dumps(res[key]), flush=True)
-        if "error" in res[key]:
-            msg = res[key]["error"].lower()
-            if "resource_exhausted" in msg or "out of memory" in msg:
-                break  # larger batches will also OOM
-            # transient relay/compile failure: keep sweeping
+    serve_sweep(system, cfg, batches, res)
 
 
 def main():

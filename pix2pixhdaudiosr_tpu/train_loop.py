@@ -118,13 +118,13 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
     visualizer = Visualizer(cfg)
 
     # ---------------- cadence (reference train.py:70-82)
-    print_freq = lcm(cfg.print_freq, cfg.batch_size)
+    # Any freq <= 0 disables that cadence entirely (the reference's argparse
+    # defaults are all positive; a 0 would ZeroDivisionError the modulos).
+    print_freq = lcm(cfg.print_freq, cfg.batch_size) if cfg.print_freq > 0 else 0
     total_steps = (start_epoch - 1) * dataset_size + epoch_iter
-    display_delta = total_steps % cfg.display_freq
-    print_delta = total_steps % print_freq
-    save_delta = total_steps % cfg.save_latest_freq
-    # eval_freq <= 0 disables in-training eval (same as validation_split 0);
-    # guards the % below from a ZeroDivisionError on --eval_freq 0.
+    display_delta = total_steps % cfg.display_freq if cfg.display_freq > 0 else -1
+    print_delta = total_steps % print_freq if print_freq > 0 else -1
+    save_delta = total_steps % cfg.save_latest_freq if cfg.save_latest_freq > 0 else -1
     do_eval = cfg.validation_split > 0 and cfg.eval_freq > 0
     eval_delta = total_steps % cfg.eval_freq if do_eval else -1
 
@@ -182,11 +182,12 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
                 ckpt.save(state, str(epoch))
                 ckpt.save_iter(epoch + 1, 0)
                 return
-            if total_steps % print_freq == print_delta:
+            if print_freq > 0 and total_steps % print_freq == print_delta:
                 iter_start_time = time.time()
             total_steps += cfg.batch_size
             epoch_iter += cfg.batch_size
-            save_fake = total_steps % cfg.display_freq == display_delta
+            save_fake = (cfg.display_freq > 0
+                         and total_steps % cfg.display_freq == display_delta)
 
             rng = jax.random.PRNGKey(cfg.seed * 1000003 + total_steps)
             if use_pool:
@@ -202,7 +203,7 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
                                           fix_global=fix_global,
                                           with_visuals=save_fake)
 
-            if total_steps % print_freq == print_delta:
+            if print_freq > 0 and total_steps % print_freq == print_delta:
                 errors = {k: float(v) for k, v in losses.items()}
                 # divergence guard (checked at print cadence so no extra
                 # device syncs): a non-finite loss means every subsequent
@@ -226,7 +227,8 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
                     visualizer.render_visuals(raw, cfg.abs_spectro),
                     epoch, total_steps)
 
-            if total_steps % cfg.save_latest_freq == save_delta:
+            if (cfg.save_latest_freq > 0
+                    and total_steps % cfg.save_latest_freq == save_delta):
                 print("saving the latest model (epoch %d, total_steps %d)"
                       % (epoch, total_steps))
                 ckpt.save(state, "latest")
@@ -242,7 +244,7 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
               % (epoch, cfg.niter + cfg.niter_decay,
                  time.time() - epoch_start_time))
 
-        if epoch % cfg.save_epoch_freq == 0:
+        if cfg.save_epoch_freq > 0 and epoch % cfg.save_epoch_freq == 0:
             print("saving the model at the end of epoch %d, iters %d"
                   % (epoch, total_steps))
             ckpt.save(state, "latest")

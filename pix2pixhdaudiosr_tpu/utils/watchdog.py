@@ -64,13 +64,21 @@ def wait_for_backend(window: float = 1800.0, probe_timeout: float = 240.0,
             # probe patience for more retries inside the same window)
             env = dict(os.environ)
             env.setdefault("AUDIOSR_INIT_TIMEOUT", str(probe_timeout))
-            return subprocess.run(
-                [sys.executable, "-c",
-                 "from pix2pixhdaudiosr_tpu.utils.watchdog import "
-                 "backend_watchdog; backend_watchdog()"],
-                env=env, cwd=os.path.dirname(os.path.dirname(
-                    os.path.dirname(os.path.abspath(__file__)))),
-            ).returncode
+            try:
+                # hard outer bound: if the caller disabled the inner
+                # watchdog (AUDIOSR_INIT_TIMEOUT=0) a downed relay would
+                # hang jax.devices() in the child forever, unbounding the
+                # window this function exists to bound
+                return subprocess.run(
+                    [sys.executable, "-c",
+                     "from pix2pixhdaudiosr_tpu.utils.watchdog import "
+                     "backend_watchdog; backend_watchdog()"],
+                    env=env, cwd=os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__)))),
+                    timeout=max(probe_timeout * 2, 60.0),
+                ).returncode
+            except subprocess.TimeoutExpired:
+                return 3
 
     deadline = time.monotonic() + window
     attempt = 0

@@ -16,6 +16,22 @@
 # TPU analog (mesh flags --tp_shards/--cp_shards replace it).
 set -e
 
+# Some reference recipes load checkpoints that no recipe in the committed
+# reference train_script.sh produces either (hifitts_vctk_pha2_*_6x at its
+# lines 83/89, VCTK_hifitts_G3L2_48ngf_time_D at line 96 — runs from outside
+# the script). Names are kept verbatim for parity; `run_if_ckpt` skips such a
+# step with a warning instead of letting set -e abort the remaining families.
+run_if_ckpt() {
+  local ckpt="$1"; shift
+  if [ -d "$ckpt" ]; then
+    "$@"
+  else
+    echo "SKIP (pretrain checkpoint $ckpt not found — produced outside" \
+         "the committed reference script; train it or drop --load_pretrain):" \
+         "$*" >&2
+  fi
+}
+
 COMMON="--no_instance --no_vgg_loss --label_nc 0 --output_nc 2 --input_nc 2 \
  --nThreads 16 --mask --mask_mode mode2 --netG local --abs_spectro --center \
  --explicit_encoding --validation_split 0.01"
@@ -115,11 +131,13 @@ python train.py --name hifitts_vctk_phaloss_G3L2_48ngf_6x --dataroot "$VCTK/trai
   $COMMON --batchSize 64 --niter 100 --niter_decay 50 --validation_split 0 \
   --n_blocks_global 3 --n_blocks_local 2 --ngf 48 --use_match_loss \
   --save_epoch_freq 40 --save_latest_freq 2000
+run_if_ckpt ./checkpoints/hifitts_vctk_pha2_G3L2_48ngf_6x \
 python train.py --name VCTK_G3L2_48ngf --dataroot "$VCTK/wav48" \
   --load_pretrain ./checkpoints/hifitts_vctk_pha2_G3L2_48ngf_6x \
   $COMMON --batchSize 64 --niter 50 --niter_decay 50 \
   --n_blocks_global 3 --n_blocks_local 2 --ngf 48 --use_match_loss \
   --eval_freq 5000 --save_latest_freq 2000 --save_epoch_freq 20
+run_if_ckpt ./checkpoints/hifitts_vctk_pha2_G3L2_48ngf_6x \
 python train.py --name VCTK_G3L2_48ngf_match_loss_mse --dataroot "$VCTK/wav48" \
   --load_pretrain ./checkpoints/hifitts_vctk_pha2_G3L2_48ngf_6x \
   $COMMON --batchSize 32 --niter 50 --niter_decay 50 \
@@ -144,6 +162,7 @@ python train.py --name hifitts_G3L2_48ngf_time_loss --dataroot "$HIFITTS/audio.c
   $COMMON --batchSize 32 --niter 100 --niter_decay 50 \
   --n_blocks_global 3 --n_blocks_local 2 --ngf 48 --use_hifigan_D \
   --eval_freq 5000 --save_latest_freq 2000 --save_epoch_freq 20
+run_if_ckpt ./checkpoints/VCTK_hifitts_G3L2_48ngf_time_D \
 python train.py --name VCTK_hifitts_G3L2_48ngf_time_D_match --dataroot "$VCTK/train.csv" \
   --load_pretrain ./checkpoints/VCTK_hifitts_G3L2_48ngf_time_D --continue_train \
   $COMMON --batchSize 64 --niter 50 --niter_decay 0 \
@@ -173,6 +192,7 @@ python generate_audio.py --name pha2_G3L2_48_2x_gen \
   --load_pretrain ./checkpoints/hifitts_vctk_pha2_G3L2_48ngf_2x \
   $COMMON --batchSize 4 --serial_batches --phase test --validation_split 0 \
   --n_blocks_global 3 --n_blocks_local 2 --ngf 48 --lr_sampling_rate 24000
+run_if_ckpt ./checkpoints/VCTK_G3L2_48ngf_match_loss_mse \
 python generate_audio.py --name GEN_VCTK_G3L2_48ngf_match_loss_mse \
   --dataroot ./test/test.wav \
   --load_pretrain ./checkpoints/VCTK_G3L2_48ngf_match_loss_mse \

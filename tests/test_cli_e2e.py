@@ -44,14 +44,19 @@ def tiny_cfg(env, **kw):
 
 
 @pytest.mark.slow
-def test_eval_freq_zero_disables_eval(env):
-    # --eval_freq 0 with a validation split must mean "never eval", not a
-    # ZeroDivisionError in the cadence modulo (found by a verify drive-run).
+def test_freq_zero_disables_cadences(env):
+    # Any --*_freq 0 with a validation split must mean "never", not a
+    # ZeroDivisionError in the cadence modulos (found by a verify drive-run
+    # with --eval_freq 0; the fix covers the whole freq family).
     from pix2pixhdaudiosr_tpu.train_loop import main as train_main
-    cfg = tiny_cfg(env, name="e2e_evalfreq0", eval_freq=0)
+    cfg = tiny_cfg(env, name="e2e_evalfreq0", eval_freq=0, print_freq=0,
+                   display_freq=0, save_latest_freq=0)
     train_main(cfg=cfg)
-    assert os.path.exists(os.path.join(cfg.expr_dir, "latest_state"))
-    assert not os.path.exists(os.path.join(cfg.expr_dir, "eval.csv"))
+    expr = cfg.expr_dir
+    assert os.path.exists(os.path.join(expr, "latest_state"))  # epoch save
+    assert not os.path.exists(os.path.join(expr, "eval.csv"))
+    with open(os.path.join(expr, "loss_log.txt")) as f:
+        assert "G_GAN" not in f.read()  # print cadence disabled
 
 
 @pytest.mark.slow

@@ -52,18 +52,23 @@ def test_timeout_env_disable(monkeypatch):
     backend_watchdog(seconds=0.001)  # returns before starting any timer
 
 
-def test_wait_for_backend_immediate_success():
+def test_wait_for_backend_immediate_success(monkeypatch):
+    # a driver-exported AUDIOSR_BENCH_RETRY_WINDOW overrides the window
+    # argument — isolate so these tests don't inherit a 30-min window
+    monkeypatch.delenv("AUDIOSR_BENCH_RETRY_WINDOW", raising=False)
     assert wait_for_backend(window=10.0, sleep_s=0.01, probe=lambda: 0) == 1
 
 
-def test_wait_for_backend_flapping_relay_recovers():
+def test_wait_for_backend_flapping_relay_recovers(monkeypatch):
     # relay down for two probes, then back: the capture must survive
+    monkeypatch.delenv("AUDIOSR_BENCH_RETRY_WINDOW", raising=False)
     rcs = iter([3, 3, 0])
     assert wait_for_backend(window=10.0, sleep_s=0.01,
                             probe=lambda: next(rcs)) == 3
 
 
-def test_wait_for_backend_window_exhausted_exits_3():
+def test_wait_for_backend_window_exhausted_exits_3(monkeypatch):
+    monkeypatch.delenv("AUDIOSR_BENCH_RETRY_WINDOW", raising=False)
     with pytest.raises(SystemExit) as exc:
         wait_for_backend(window=0.05, sleep_s=0.01, probe=lambda: 3)
     assert exc.value.code == 3

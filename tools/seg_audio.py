@@ -71,6 +71,12 @@ def main(argv=None):
             total += segment_file(os.path.join(args.dir, name),
                                   args.seconds, args.delete)
     print(f"wrote {total} segments")
+    if total and not args.delete:
+        print("note: originals kept (no --delete) — segments were written "
+              "NEXT TO them, so a corpus built from this directory would "
+              "see the same audio twice; point training at the segments "
+              "only, or re-run with --delete for the reference's behavior",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
