@@ -30,12 +30,24 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--out", type=str, default="")
+    p.add_argument("--tiny", action="store_true",
+                   help="CPU smoke mode: shrink the config to exercise "
+                        "every code path without the chip (same pattern as "
+                        "the benchmarks/ harnesses)")
     args = p.parse_args(argv)
 
     from __graft_entry__ import _flagship_cfg
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
 
     cfg = _flagship_cfg()
+    if args.tiny:
+        # live-config update before any backend init (tests/conftest
+        # pattern; env vars alone are too late under sitecustomize's axon
+        # register)
+        jax.config.update("jax_platforms", "cpu")
+        cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
+                          n_downsample_global=2, compute_dtype="float32")
+        args.batch = min(args.batch, 2)
     system = Pix2PixHDSystem(cfg)
     params = jax.jit(lambda k: system.netG.init(
         k, jnp.zeros(system.spectro_shape(1), jnp.float32)))(jax.random.PRNGKey(0))
