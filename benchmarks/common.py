@@ -73,6 +73,7 @@ def serve_sweep(system, cfg, batches, res, *, key_fmt="b{b}", base_iters=3,
 
     for b in batches:
         key = key_fmt.format(b=b)
+        err_full = None
         try:
             @jax.jit
             def fwd(p, a, k):
@@ -115,10 +116,14 @@ def serve_sweep(system, cfg, batches, res, *, key_fmt="b{b}", base_iters=3,
             if include_memory:
                 res[key]["memory"] = mem_info(compiled)
         except Exception as e:
-            res[key] = {"error": f"{type(e).__name__}: {e}"[:400]}
+            err_full = f"{type(e).__name__}: {e}"
+            res[key] = {"error": err_full[:400]}
         print(key, json.dumps(res[key]), flush=True)
-        if "error" in res[key]:
-            msg = res[key]["error"].lower()
+        if err_full is not None:
+            # classify on the FULL message (relay errors arrive wrapped in
+            # long RPC prefixes that can push the marker past the stored
+            # 400-char truncation), store truncated
+            msg = err_full.lower()
             if "resource_exhausted" in msg or "out of memory" in msg:
                 break  # larger batches will also OOM
             # transient relay/compile failure: keep sweeping

@@ -162,6 +162,11 @@ def main():
                           n_downsample_global=2, ndf=8, n_layers_d=2,
                           compute_dtype="float32")
         args.serve_batches = [2]
+    else:
+        # fail fast (exit 3) instead of hanging forever when the relay is
+        # down — same protection as bench.py and every CLI
+        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
+        backend_watchdog()
     system = Pix2PixHDSystem(cfg)
     res = {}
     if not args.skip_serve:

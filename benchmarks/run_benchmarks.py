@@ -132,6 +132,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     args = p.parse_args(argv)
+    # fail fast (exit 3) instead of hanging forever when the relay is down
+    from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
+    backend_watchdog()
     bench_loader(args.quick)
     bench_mdct(args.quick)
     bench_lee(args.quick)

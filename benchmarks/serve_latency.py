@@ -37,10 +37,6 @@ from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 
-def sweep(system, cfg, batches, res):
-    serve_sweep(system, cfg, batches, res)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="*",
@@ -61,10 +57,15 @@ def main():
         cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
                           n_downsample_global=2, compute_dtype="float32")
         args.batches = [1, 2]
+    else:
+        # fail fast (exit 3) instead of hanging forever when the relay is
+        # down — same protection as bench.py and every CLI
+        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
+        backend_watchdog()
     system = Pix2PixHDSystem(cfg)
     res = {"segment_audio_seconds": round(
         cfg.segment_length / cfg.hr_sampling_rate, 4)}
-    sweep(system, cfg, args.batches, res)
+    serve_sweep(system, cfg, args.batches, res)
 
     out = os.path.join(os.path.dirname(__file__),
                        "serve_latency_tiny.json" if args.tiny

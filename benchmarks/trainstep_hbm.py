@@ -140,6 +140,11 @@ def main():
                           segment_length=(32 - 1) * 256,
                           compute_dtype="float32")
         args.batch, iters = 2, 2
+    else:
+        # fail fast (exit 3) instead of hanging forever when the relay is
+        # down — same protection as bench.py and every CLI
+        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
+        backend_watchdog()
     system = Pix2PixHDSystem(cfg)
     res = {"batch": args.batch}
 

@@ -166,8 +166,26 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
             w.writerow(result)
         print("Evaluation:", result)
 
+    def guard_finite(losses, epoch, epoch_iter):
+        """Divergence guard: a non-finite loss means every subsequent step is
+        garbage — save a post-mortem checkpoint and stop with the last good
+        'latest' still on disk. Called at print cadence AND before every
+        'latest' overwrite (so --print_freq 0 cannot let a NaN state clobber
+        the last good checkpoint). Returns the host-side loss dict."""
+        errors = {k: float(v) for k, v in losses.items()}
+        if not all(math.isfinite(v) for v in errors.values()):
+            ckpt.save(state, "diverged")
+            raise SystemExit(
+                f"non-finite losses at epoch {epoch} iter "
+                f"{epoch_iter}: {errors} — state saved under the "
+                f"'diverged' tag; resume from 'latest' (last good "
+                f"save) with --continue_train, typically with a "
+                f"lower --lr")
+        return errors
+
     # ---------------- epoch loop (reference train.py:128-231)
     lr_value = cfg.lr
+    losses = {}  # guard_finite is a no-op until the first step lands
     fix_global = cfg.niter_fix_global > 0 and start_epoch <= cfg.niter_fix_global
     iter_start_time = time.time()
     for epoch in range(start_epoch, cfg.niter + cfg.niter_decay + 1):
@@ -204,19 +222,7 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
                                           with_visuals=save_fake)
 
             if print_freq > 0 and total_steps % print_freq == print_delta:
-                errors = {k: float(v) for k, v in losses.items()}
-                # divergence guard (checked at print cadence so no extra
-                # device syncs): a non-finite loss means every subsequent
-                # step is garbage — save a post-mortem checkpoint and stop
-                # with the last good 'latest' still on disk
-                if not all(math.isfinite(v) for v in errors.values()):
-                    ckpt.save(state, "diverged")
-                    raise SystemExit(
-                        f"non-finite losses at epoch {epoch} iter "
-                        f"{epoch_iter}: {errors} — state saved under the "
-                        f"'diverged' tag; resume from 'latest' (last good "
-                        f"save) with --continue_train, typically with a "
-                        f"lower --lr")
+                errors = guard_finite(losses, epoch, epoch_iter)
                 t = (time.time() - iter_start_time) / print_freq
                 visualizer.print_current_errors(epoch, epoch_iter, errors, t)
                 visualizer.plot_current_errors(errors, total_steps)
@@ -229,6 +235,7 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
 
             if (cfg.save_latest_freq > 0
                     and total_steps % cfg.save_latest_freq == save_delta):
+                guard_finite(losses, epoch, epoch_iter)
                 print("saving the latest model (epoch %d, total_steps %d)"
                       % (epoch, total_steps))
                 ckpt.save(state, "latest")
@@ -245,6 +252,7 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
                  time.time() - epoch_start_time))
 
         if cfg.save_epoch_freq > 0 and epoch % cfg.save_epoch_freq == 0:
+            guard_finite(losses, epoch, epoch_iter)
             print("saving the model at the end of epoch %d, iters %d"
                   % (epoch, total_steps))
             ckpt.save(state, "latest")

@@ -33,6 +33,16 @@ def _env_platform_override(env_value, current):
     return None
 
 
+# The probe child must ALWAYS end by touching the backend: backend_watchdog
+# alone returns before probing when the caller disabled it via
+# AUDIOSR_INIT_TIMEOUT=0, which would make a probe vacuously "succeed"
+# against a downed relay. The explicit jax.devices() guarantees the touch;
+# the subprocess timeout in wait_for_backend bounds the resulting hang.
+_PROBE_CODE = ("from pix2pixhdaudiosr_tpu.utils.watchdog import "
+               "backend_watchdog; backend_watchdog(); "
+               "import jax; jax.devices()")
+
+
 def wait_for_backend(window: float = 1800.0, probe_timeout: float = 240.0,
                      sleep_s: float = 60.0, probe=None) -> int:
     """Bounded retry window for a flapping relay (bench capture path).
@@ -43,10 +53,16 @@ def wait_for_backend(window: float = 1800.0, probe_timeout: float = 240.0,
     driver runs it. This re-probes the backend in a SUBPROCESS (a hung
     backend init cannot be cancelled in-process) every `sleep_s` seconds
     until one probe succeeds or `window` seconds elapse, then exits 3.
-    Tune/disable with AUDIOSR_BENCH_RETRY_WINDOW (seconds; 0 = single probe,
-    keep the old fail-fast behavior).
+    Tune/disable with AUDIOSR_BENCH_RETRY_WINDOW (seconds; <= 0 skips the
+    pre-probe entirely — no redundant relay init; the process's own
+    `backend_watchdog()` then provides the old fail-fast behavior).
 
-    Returns the number of probe attempts on success (for logging/tests).
+    The happy path costs one extra relay init (the probe subprocess); that
+    is the price of being able to retry at all — a hung in-process init
+    cannot be cancelled, so the first touch must be sacrificial.
+
+    Returns the number of probe attempts on success (for logging/tests),
+    or 0 when the pre-probe is skipped.
     """
     import subprocess
     import time
@@ -57,6 +73,8 @@ def wait_for_backend(window: float = 1800.0, probe_timeout: float = 240.0,
             window = float(env_window)
         except ValueError:
             pass
+    if window <= 0:
+        return 0
 
     if probe is None:
         def probe():
@@ -65,17 +83,19 @@ def wait_for_backend(window: float = 1800.0, probe_timeout: float = 240.0,
             env = dict(os.environ)
             env.setdefault("AUDIOSR_INIT_TIMEOUT", str(probe_timeout))
             try:
-                # hard outer bound: if the caller disabled the inner
-                # watchdog (AUDIOSR_INIT_TIMEOUT=0) a downed relay would
-                # hang jax.devices() in the child forever, unbounding the
-                # window this function exists to bound
+                inner = float(env["AUDIOSR_INIT_TIMEOUT"])
+            except ValueError:
+                inner = probe_timeout
+            try:
+                # hard outer bound converts a hung child into rc 3; it
+                # scales with a caller-set inner timeout so a deliberately
+                # patient probe is not killed early
                 return subprocess.run(
-                    [sys.executable, "-c",
-                     "from pix2pixhdaudiosr_tpu.utils.watchdog import "
-                     "backend_watchdog; backend_watchdog()"],
+                    [sys.executable, "-c", _PROBE_CODE],
                     env=env, cwd=os.path.dirname(os.path.dirname(
                         os.path.dirname(os.path.abspath(__file__)))),
-                    timeout=max(probe_timeout * 2, 60.0),
+                    timeout=max((inner if inner > 0 else probe_timeout) * 2,
+                                60.0),
                 ).returncode
             except subprocess.TimeoutExpired:
                 return 3

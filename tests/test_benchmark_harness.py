@@ -87,6 +87,19 @@ def test_serve_sweep_oom_breaks():
     assert "b3" not in res  # larger batches would also OOM
 
 
+def test_serve_sweep_oom_marker_past_truncation_still_breaks():
+    # relay errors arrive wrapped in long RPC prefixes; the OOM marker can
+    # land beyond the 400-char stored truncation — classification must use
+    # the full message (a truncated-classify bug would sweep on, paying a
+    # 20-300 s remote compile per larger batch)
+    msg = "x" * 450 + " RESOURCE_EXHAUSTED: out of memory"
+    res = {}
+    serve_sweep(_fake_system({2}, msg), FAKE_CFG, [1, 2, 3], res,
+                base_iters=1, extra_iters=lambda b: 1)
+    assert "error" in res["b2"] and len(res["b2"]["error"]) <= 400
+    assert "b3" not in res  # broke despite the marker being truncated away
+
+
 def test_serve_sweep_param_count_gate():
     with pytest.raises(AssertionError):
         serve_sweep(_fake_system(set(), ""), FAKE_CFG, [], {},

@@ -128,3 +128,29 @@ def test_train_loop_divergence_guard(tmp_path, rng_np):
     with pytest.raises(SystemExit, match="non-finite losses"):
         train_loop.main(cfg=cfg)
     assert (tmp_path / "ck" / "t" / "diverged_state").exists()
+
+
+def test_train_loop_divergence_guard_print_disabled(tmp_path, rng_np):
+    """--print_freq 0 must NOT disable the divergence guard: the check also
+    runs before every 'latest' overwrite, so a NaN state cannot silently
+    clobber the last good checkpoint (round-5 review finding)."""
+    from pix2pixhdaudiosr_tpu.config import Config
+    from pix2pixhdaudiosr_tpu import train_loop
+    from pix2pixhdaudiosr_tpu.data import write_wav
+    d = tmp_path / "wavs"
+    d.mkdir()
+    for i in range(4):
+        write_wav(str(d / f"a{i}.wav"),
+                  rng_np.standard_normal(40000).astype(np.float32) * 0.1, 48000)
+    cfg = Config(dataroot=str(d), checkpoints_dir=str(tmp_path / "ck"),
+                 name="t", batch_size=2, validation_split=0.0,
+                 net_g="global", ngf=4, ndf=4, n_layers_d=2, num_d=1,
+                 n_downsample_global=1, n_blocks_global=1, input_nc=2,
+                 output_nc=2, label_nc=0, no_instance=True,
+                 explicit_encoding=True, mask_mode="mode2",
+                 compute_dtype="float32", niter=2, niter_decay=0,
+                 lr=1e18, print_freq=0, save_latest_freq=2,
+                 display_freq=10**9, eval_freq=10**9)
+    with pytest.raises(SystemExit, match="non-finite losses"):
+        train_loop.main(cfg=cfg)
+    assert (tmp_path / "ck" / "t" / "diverged_state").exists()

@@ -104,9 +104,11 @@ def test_seg_audio(tmp_path):
     assert not (tmp_path / "b.wav").exists()
 
 
-def test_seg_audio_short_file(tmp_path):
+def test_seg_audio_short_file(tmp_path, capsys):
     """Files no longer than one segment are still emitted as segment 000
-    (ffmpeg keeps the tail), so --delete never silently drops audio."""
+    (ffmpeg keeps the tail) in BOTH modes, so a 'segments only' corpus (the
+    advised no-delete workflow) never loses short files — but a pre-existing
+    <base>000.wav is never clobbered in no-delete mode."""
     import os
     import sys
     import numpy as np
@@ -117,12 +119,19 @@ def test_seg_audio_short_file(tmp_path):
     rate = 48000
     x = np.linspace(-0.4, 0.4, int(0.5 * rate)).astype(np.float32)
     write_wav(str(tmp_path / "short.wav"), x, rate)
-    # without --delete the original already holds the short file: no copy
-    # (a <base>000.wav duplicate would double-weight it in a corpus walk)
+    n = seg_audio.segment_file(str(tmp_path / "short.wav"), 1.2, delete=False)
+    assert n == 1
+    assert (tmp_path / "short.wav").exists()  # original kept without --delete
+    out = read_wav(str(tmp_path / "short000.wav"))[0].reshape(-1)
+    np.testing.assert_allclose(out, x, atol=2e-4)
+
+    # a pre-existing sibling named <base>000.wav is not overwritten
+    y = np.linspace(0.1, -0.1, int(0.2 * rate)).astype(np.float32)
+    write_wav(str(tmp_path / "short000.wav"), y, rate)
     n = seg_audio.segment_file(str(tmp_path / "short.wav"), 1.2, delete=False)
     assert n == 0
-    assert (tmp_path / "short.wav").exists()
-    assert not (tmp_path / "short000.wav").exists()
+    kept = read_wav(str(tmp_path / "short000.wav"))[0].reshape(-1)
+    np.testing.assert_allclose(kept, y, atol=2e-4)
 
     n = seg_audio.segment_file(str(tmp_path / "short.wav"), 1.2, delete=True)
     assert n == 1

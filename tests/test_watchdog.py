@@ -74,11 +74,21 @@ def test_wait_for_backend_window_exhausted_exits_3(monkeypatch):
     assert exc.value.code == 3
 
 
-def test_wait_for_backend_env_window_zero_single_probe(monkeypatch):
-    # AUDIOSR_BENCH_RETRY_WINDOW=0 restores the old fail-fast behavior
+def test_wait_for_backend_env_window_zero_skips_preprobe(monkeypatch):
+    # AUDIOSR_BENCH_RETRY_WINDOW=0 skips the pre-probe entirely (no
+    # redundant relay init on the happy path); the caller's own
+    # backend_watchdog then provides the old fail-fast behavior
     monkeypatch.setenv("AUDIOSR_BENCH_RETRY_WINDOW", "0")
     calls = []
-    with pytest.raises(SystemExit):
-        wait_for_backend(window=999.0, sleep_s=0.01,
-                         probe=lambda: calls.append(1) or 3)
-    assert len(calls) == 1
+    assert wait_for_backend(window=999.0, sleep_s=0.01,
+                            probe=lambda: calls.append(1) or 3) == 0
+    assert calls == []
+
+
+def test_probe_child_always_touches_backend():
+    # the probe subprocess must end with an explicit jax.devices() so a
+    # caller-set AUDIOSR_INIT_TIMEOUT=0 (inner watchdog disabled) cannot
+    # make a probe vacuously succeed without touching the relay — the
+    # outer subprocess timeout is what bounds it then
+    from pix2pixhdaudiosr_tpu.utils.watchdog import _PROBE_CODE
+    assert _PROBE_CODE.strip().endswith("jax.devices()")

@@ -48,6 +48,11 @@ def main(argv=None):
         cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
                           n_downsample_global=2, compute_dtype="float32")
         args.batch = min(args.batch, 2)
+    else:
+        # fail fast (exit 3) instead of hanging forever when the relay is
+        # down — same protection as bench.py and every CLI
+        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
+        backend_watchdog()
     system = Pix2PixHDSystem(cfg)
     params = jax.jit(lambda k: system.netG.init(
         k, jnp.zeros(system.spectro_shape(1), jnp.float32)))(jax.random.PRNGKey(0))

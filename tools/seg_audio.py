@@ -34,16 +34,18 @@ def segment_file(path: str, seconds: float, delete: bool) -> int:
     if seg <= 0:
         return 0
     if audio.shape[1] <= seg:
-        if not delete:
-            # without --delete the original already holds the whole (short)
-            # file; writing a <base>000.wav copy would double-weight it in a
-            # corpus built from this directory
-            return 0
         # ffmpeg's segmenter still emits one (short) segment for files no
-        # longer than segment_time; match that so --delete never loses audio
+        # longer than segment_time; match that so a "segments only" corpus
+        # (the advised workflow without --delete) never loses short files
         base = os.path.splitext(path)[0]
-        write_wav(f"{base}000.wav", audio, rate)  # never equals `path`
-        os.remove(path)
+        out = f"{base}000.wav"  # never equals `path`
+        if not delete and os.path.exists(out):
+            print(f"skip {path}: refusing to overwrite existing {out}",
+                  file=sys.stderr)
+            return 0
+        write_wav(out, audio, rate)
+        if delete:
+            os.remove(path)
         return 1
     base = os.path.splitext(path)[0]
     n = 0
