@@ -24,6 +24,24 @@ import numpy as np
 fence_sum = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
 
+def tiny_or_fail_fast(tiny: bool) -> None:
+    """Every harness's backend preamble, one implementation (the per-harness
+    config shrink stays at the call site — the models differ).
+
+    tiny=True: force the live jax config to CPU BEFORE any backend init
+    (tests/conftest pattern; env vars alone are too late — sitecustomize's
+    axon register wins at interpreter start).
+    tiny=False: arm the fail-fast init watchdog so a downed relay exits 3
+    instead of hanging the harness — same protection as bench.py and the
+    CLIs.
+    """
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
+        backend_watchdog()
+
+
 def host_params(shapes, seed: int = 0, scale: float = 0.02):
     rng_np = np.random.default_rng(seed)
     return jax.tree.map(

@@ -37,7 +37,7 @@ import numpy as np
 from benchmarks.common import fence_sum as _sum
 from benchmarks.common import host_params as _host_params
 from benchmarks.common import mem_info as _mem_info
-from benchmarks.common import serve_sweep
+from benchmarks.common import serve_sweep, tiny_or_fail_fast
 from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
@@ -58,6 +58,36 @@ def serve(system, cfg, batches, res, expect_params=730_713_346):
     serve_sweep(system, cfg, batches, res, key_fmt="serve_b{b}",
                 base_iters=2, extra_iters=lambda b: 6, include_memory=True,
                 expect_params=expect_params, ms_digits=1)
+
+
+def parse_train_attempts(items):
+    """BATCH[:remat][:mubf16] items -> [(batch, remat, mu_bf16)].
+
+    Validates every token NOW — a typo silently dropped here would record a
+    capture under the wrong knob label (round-5 review finding)."""
+    if not items:
+        raise SystemExit("--train_attempts given but empty: pass at least "
+                         "one BATCH[:remat][:mubf16] item")
+    attempts = []
+    for item in items:
+        parts = item.split(":")
+        remat, mu_bf16 = None, False
+        for tok in parts[1:]:
+            if tok in ("full", "dots"):
+                remat = tok
+            elif tok == "mubf16":
+                mu_bf16 = True
+            elif tok:
+                raise SystemExit(
+                    f"--train_attempts {item!r}: unknown token {tok!r} "
+                    f"(expected 'full', 'dots' or 'mubf16')")
+        try:
+            batch = int(parts[0])
+        except ValueError:
+            raise SystemExit(f"--train_attempts {item!r}: batch must be an "
+                             f"integer, got {parts[0]!r}") from None
+        attempts.append((batch, remat, mu_bf16))
+    return attempts
 
 
 def train(system, cfg, attempts, res):
@@ -153,20 +183,12 @@ def main():
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
 
     cfg = g730_cfg()
+    tiny_or_fail_fast(args.tiny)
     if args.tiny:
-        # JAX_PLATFORMS=cpu alone is too late on this image (sitecustomize's
-        # axon register wins); the live-config update is what tests/conftest
-        # uses, and it must land before any backend init.
-        jax.config.update("jax_platforms", "cpu")
         cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
                           n_downsample_global=2, ndf=8, n_layers_d=2,
                           compute_dtype="float32")
         args.serve_batches = [2]
-    else:
-        # fail fast (exit 3) instead of hanging forever when the relay is
-        # down — same protection as bench.py and every CLI
-        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
-        backend_watchdog()
     system = Pix2PixHDSystem(cfg)
     res = {}
     if not args.skip_serve:
@@ -182,13 +204,7 @@ def main():
                     (8, "full", True),
                     (4, "full", True)]
         if args.train_attempts is not None:
-            attempts = []
-            for item in args.train_attempts:
-                parts = item.split(":")
-                attempts.append((int(parts[0]),
-                                 parts[1] if len(parts) > 1 and parts[1]
-                                 else None,
-                                 "mubf16" in parts[2:]))
+            attempts = parse_train_attempts(args.train_attempts)
         train(system, cfg, attempts, res)
 
     out = os.path.join(os.path.dirname(__file__),

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-from benchmarks.common import serve_sweep
+from benchmarks.common import serve_sweep, tiny_or_fail_fast
 from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
@@ -50,18 +50,11 @@ def main():
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
 
     cfg = _flagship_cfg()
+    tiny_or_fail_fast(args.tiny)
     if args.tiny:
-        # live-config update before any backend init (tests/conftest pattern;
-        # env vars alone are too late under sitecustomize's axon register)
-        jax.config.update("jax_platforms", "cpu")
         cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
                           n_downsample_global=2, compute_dtype="float32")
         args.batches = [1, 2]
-    else:
-        # fail fast (exit 3) instead of hanging forever when the relay is
-        # down — same protection as bench.py and every CLI
-        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
-        backend_watchdog()
     system = Pix2PixHDSystem(cfg)
     res = {"segment_audio_seconds": round(
         cfg.segment_length / cfg.hr_sampling_rate, 4)}

@@ -34,6 +34,7 @@ import numpy as np
 
 from benchmarks.common import fence_sum as _sum
 from benchmarks.common import host_params as _host_params
+from benchmarks.common import tiny_or_fail_fast
 from pix2pixhdaudiosr_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
@@ -130,21 +131,13 @@ def main():
 
     cfg = _flagship_cfg()
     iters = 6
+    tiny_or_fail_fast(args.tiny)
     if args.tiny:
-        # JAX_PLATFORMS=cpu alone is too late on this image (sitecustomize's
-        # axon register wins); the live-config update is what tests/conftest
-        # uses, and it must land before any backend init.
-        jax.config.update("jax_platforms", "cpu")
         cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
                           n_downsample_global=2, ndf=8, n_layers_d=2,
                           segment_length=(32 - 1) * 256,
                           compute_dtype="float32")
         args.batch, iters = 2, 2
-    else:
-        # fail fast (exit 3) instead of hanging forever when the relay is
-        # down — same protection as bench.py and every CLI
-        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
-        backend_watchdog()
     system = Pix2PixHDSystem(cfg)
     res = {"batch": args.batch}
 

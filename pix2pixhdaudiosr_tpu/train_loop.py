@@ -194,6 +194,9 @@ def main(argv=None, cfg: Optional[Config] = None) -> None:
             epoch_iter = epoch_iter % dataset_size
         for data, batch in device_prefetch(train_loader, mesh):
             if end["flag"]:
+                # Ctrl+C on an obviously-diverged run must not clobber the
+                # last good 'latest' either — same guard as every other save
+                guard_finite(losses, epoch, epoch_iter)
                 print("exiting and saving the model at epoch %d, iters %d"
                       % (epoch, total_steps))
                 ckpt.save(state, "latest")

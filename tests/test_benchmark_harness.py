@@ -104,3 +104,24 @@ def test_serve_sweep_param_count_gate():
     with pytest.raises(AssertionError):
         serve_sweep(_fake_system(set(), ""), FAKE_CFG, [], {},
                     expect_params=999)
+
+
+def test_g730_train_attempts_parser():
+    from benchmarks.g730_experiment import parse_train_attempts
+
+    assert parse_train_attempts(["32", "16:full", "8:full:mubf16",
+                                 "4:mubf16", "2:dots"]) == [
+        (32, None, False), (16, "full", False), (8, "full", True),
+        (4, None, True), (2, "dots", False)]
+    # a typo must fail NOW, not silently record the capture under the
+    # wrong knob label (nor blow up minutes later at trace time)
+    with pytest.raises(SystemExit, match="unknown token"):
+        parse_train_attempts(["32:full:mubf816"])
+    with pytest.raises(SystemExit, match="unknown token"):
+        parse_train_attempts(["16:fulll"])
+    with pytest.raises(SystemExit, match="unknown token"):
+        parse_train_attempts(["full:16"])  # swapped fields: '16' is caught
+    with pytest.raises(SystemExit, match="batch must be an integer"):
+        parse_train_attempts(["full"])
+    with pytest.raises(SystemExit, match="empty"):
+        parse_train_attempts([])

@@ -140,6 +140,38 @@ def test_seg_audio_short_file(tmp_path, capsys):
     np.testing.assert_allclose(out, x, atol=2e-4)
 
 
+def test_seg_audio_long_file_no_clobber(tmp_path):
+    """The no-clobber guarantee also covers the multi-segment branch: without
+    --delete a pre-existing <base>NNN.wav refuses the WHOLE file (a partial
+    per-segment skip would leave a misaligned corpus)."""
+    import os
+    import sys
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import seg_audio
+    from pix2pixhdaudiosr_tpu.data import read_wav, write_wav
+
+    rate = 48000
+    x = np.linspace(-0.5, 0.5, int(2.9 * rate)).astype(np.float32)
+    write_wav(str(tmp_path / "long.wav"), x, rate)
+    y = np.linspace(0.1, -0.1, int(0.2 * rate)).astype(np.float32)
+    write_wav(str(tmp_path / "long001.wav"), y, rate)  # unrelated pre-existing
+
+    n = seg_audio.segment_file(str(tmp_path / "long.wav"), 1.2, delete=False)
+    assert n == 0
+    kept = read_wav(str(tmp_path / "long001.wav"))[0].reshape(-1)
+    np.testing.assert_allclose(kept, y, atol=2e-4)  # untouched
+    assert not (tmp_path / "long000.wav").exists()  # no partial write
+
+    # --delete keeps the reference's overwrite semantics (rm + re-segment)
+    n = seg_audio.segment_file(str(tmp_path / "long.wav"), 1.2, delete=True)
+    assert n == 3
+    assert not (tmp_path / "long.wav").exists()
+    parts = [read_wav(str(tmp_path / f"long{i:03d}.wav"))[0].reshape(-1)
+             for i in range(3)]
+    np.testing.assert_allclose(np.concatenate(parts), x, atol=2e-4)
+
+
 def test_seg_audio_stereo(tmp_path):
     import os
     import sys

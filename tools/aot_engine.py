@@ -37,22 +37,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from __graft_entry__ import _flagship_cfg
+    from benchmarks.common import tiny_or_fail_fast
     from pix2pixhdaudiosr_tpu.system import Pix2PixHDSystem
 
     cfg = _flagship_cfg()
+    tiny_or_fail_fast(args.tiny)
     if args.tiny:
-        # live-config update before any backend init (tests/conftest
-        # pattern; env vars alone are too late under sitecustomize's axon
-        # register)
-        jax.config.update("jax_platforms", "cpu")
         cfg = cfg.replace(ngf=8, n_blocks_global=1, n_blocks_local=1,
                           n_downsample_global=2, compute_dtype="float32")
         args.batch = min(args.batch, 2)
-    else:
-        # fail fast (exit 3) instead of hanging forever when the relay is
-        # down — same protection as bench.py and every CLI
-        from pix2pixhdaudiosr_tpu.utils.watchdog import backend_watchdog
-        backend_watchdog()
     system = Pix2PixHDSystem(cfg)
     params = jax.jit(lambda k: system.netG.init(
         k, jnp.zeros(system.spectro_shape(1), jnp.float32)))(jax.random.PRNGKey(0))

@@ -48,8 +48,22 @@ def segment_file(path: str, seconds: float, delete: bool) -> int:
             os.remove(path)
         return 1
     base = os.path.splitext(path)[0]
+    offsets = range(0, audio.shape[1], seg)
+    if not delete:
+        # same no-clobber guarantee as the short-file branch: without
+        # --delete this tool never overwrites pre-existing files (a partial
+        # per-segment skip would leave a misaligned corpus, so refuse the
+        # whole file)
+        clashes = [f"{base}{i:03d}.wav" for i in range(len(offsets))
+                   if os.path.exists(f"{base}{i:03d}.wav")]
+        if clashes:
+            print(f"skip {path}: refusing to overwrite existing "
+                  f"{clashes[0]}" + (f" (+{len(clashes) - 1} more)"
+                                     if len(clashes) > 1 else ""),
+                  file=sys.stderr)
+            return 0
     n = 0
-    for off in range(0, audio.shape[1], seg):
+    for off in offsets:
         chunk = audio[:, off : off + seg]   # channels preserved, like ffmpeg
         # the reference's ffmpeg segmenter keeps the short tail chunk too
         write_wav(f"{base}{n:03d}.wav", chunk, rate)
